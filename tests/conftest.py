@@ -1,0 +1,17 @@
+"""Test configuration: force CPU backend with 8 virtual devices so sharded
+(multi-chip) code paths are exercised without TPU hardware."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The environment may pre-register an accelerator platform; force CPU here
+# (the env var alone is not authoritative in this image).
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,143 @@
+"""Device (JAX/XLA) Poseidon permutation over Goldilocks, batched.
+
+The permutation operates on a ``GF`` struct-of-arrays with trailing
+dimension 12.  The MDS layer decomposes the state into 16-bit sublimbs and
+uses exact int32 matmuls (sums < 2^25), which XLA fuses and vectorizes; the
+x^7 S-box is 4 limb multiplications on the VPU.
+
+Golden model: zk_circuits_tpu.host.poseidon (tested bit-exact against the
+reference's secret→address vectors).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import goldilocks as gf
+from ..field.goldilocks import GF
+from .constants import (
+    ALL_ROUND_CONSTANTS,
+    HALF_N_FULL_ROUNDS,
+    MDS_MATRIX_CIRC,
+    MDS_MATRIX_DIAG,
+    N_PARTIAL_ROUNDS,
+    RATE,
+    WIDTH,
+)
+
+_RC_NP = np.array(ALL_ROUND_CONSTANTS, dtype=np.uint64).reshape(30, WIDTH)
+_RC_LO = jnp.asarray((_RC_NP & 0xFFFFFFFF).astype(np.uint32))
+_RC_HI = jnp.asarray((_RC_NP >> 32).astype(np.uint32))
+
+_MDS_NP = np.zeros((WIDTH, WIDTH), dtype=np.int32)
+for _r in range(WIDTH):
+    for _i in range(WIDTH):
+        _MDS_NP[_r, _i] = MDS_MATRIX_CIRC[(_i - _r) % WIDTH]
+    _MDS_NP[_r, _r] += MDS_MATRIX_DIAG[_r]
+_MDS_T = jnp.asarray(_MDS_NP.T)  # (in, out) so state @ _MDS_T applies M
+
+
+def _sbox(x: GF) -> GF:
+    x2 = gf.mul(x, x)
+    x3 = gf.mul(x2, x)
+    x6 = gf.mul(x3, x3)
+    return gf.mul(x6, x)
+
+
+def _mds_layer(state: GF) -> GF:
+    """Exact MDS multiply via 16-bit sublimb int32 matmuls."""
+    planes = [
+        (state.lo & jnp.uint32(0xFFFF)).astype(jnp.int32),
+        (state.lo >> 16).astype(jnp.int32),
+        (state.hi & jnp.uint32(0xFFFF)).astype(jnp.int32),
+        (state.hi >> 16).astype(jnp.int32),
+    ]
+    sums = [
+        jnp.matmul(p, _MDS_T, preferred_element_type=jnp.int32).astype(jnp.uint32)
+        for p in planes
+    ]  # each < 2^25
+    s0, s1, s2, s3 = sums
+    # value = s0 + s1*2^16 + s2*2^32 + s3*2^48 — accumulate into u32 limbs.
+    r0 = s0 + ((s1 & jnp.uint32(0xFFFF)) << 16)
+    c0 = (r0 < s0).astype(jnp.uint32)
+    t = s2 + (s1 >> 16) + c0                      # < 2^26, no overflow
+    r1 = t + ((s3 & jnp.uint32(0xFFFF)) << 16)
+    c1 = (r1 < t).astype(jnp.uint32)
+    r2 = (s3 >> 16) + c1
+    r3 = jnp.zeros_like(r2)
+    return gf._reduce128(r0, r1, r2, r3)
+
+
+def _constant_layer(state: GF, r: int) -> GF:
+    rc = GF(
+        jnp.broadcast_to(_RC_LO[r], state.lo.shape),
+        jnp.broadcast_to(_RC_HI[r], state.hi.shape),
+    )
+    return gf.add(state, rc)
+
+
+def permute(state: GF) -> GF:
+    """Poseidon permutation on state with trailing dim 12 (any batch dims)."""
+    r = 0
+    for _ in range(HALF_N_FULL_ROUNDS):
+        state = _constant_layer(state, r)
+        state = _sbox(state)
+        state = _mds_layer(state)
+        r += 1
+    for _ in range(N_PARTIAL_ROUNDS):
+        state = _constant_layer(state, r)
+        s0 = _sbox(state[..., 0:1])
+        state = GF(
+            jnp.concatenate([s0.lo, state.lo[..., 1:]], axis=-1),
+            jnp.concatenate([s0.hi, state.hi[..., 1:]], axis=-1),
+        )
+        state = _mds_layer(state)
+        r += 1
+    for _ in range(HALF_N_FULL_ROUNDS):
+        state = _constant_layer(state, r)
+        state = _sbox(state)
+        state = _mds_layer(state)
+        r += 1
+    return state
+
+
+def batch_hash_no_pad(inputs: GF) -> GF:
+    """hash_no_pad over a batch: inputs (batch, n) -> (batch, 4).
+
+    n is static; absorption runs ceil(n / 8) permutations."""
+    batch, n = inputs.shape
+    state = gf.zeros((batch, WIDTH))
+    for i in range(0, n, RATE):
+        chunk = inputs[:, i : i + RATE]
+        k = chunk.shape[1]
+        state = GF(
+            jnp.concatenate([chunk.lo, state.lo[:, k:]], axis=1),
+            jnp.concatenate([chunk.hi, state.hi[:, k:]], axis=1),
+        )
+        state = permute(state)
+    return state[:, :4]
+
+
+def batch_compress(left: GF, right: GF) -> GF:
+    """Two-to-one compression, batched: (batch, 4) x (batch, 4) -> (batch, 4)."""
+    batch = left.shape[0]
+    zeros = gf.zeros((batch, 4))
+    state = GF(
+        jnp.concatenate([left.lo, right.lo, zeros.lo], axis=1),
+        jnp.concatenate([left.hi, right.hi, zeros.hi], axis=1),
+    )
+    return permute(state)[:, :4]
+
+
+def batch_hash_or_noop(inputs: GF) -> GF:
+    """hash_or_noop over a batch: (batch, n) -> (batch, 4)."""
+    batch, n = inputs.shape
+    if n <= 4:
+        pad = gf.zeros((batch, 4 - n))
+        return GF(
+            jnp.concatenate([inputs.lo, pad.lo], axis=1),
+            jnp.concatenate([inputs.hi, pad.hi], axis=1),
+        )
+    return batch_hash_no_pad(inputs)
