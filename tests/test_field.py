@@ -49,15 +49,17 @@ def test_host_roots_of_unity():
 
 @pytest.mark.parametrize("op", ["add", "sub", "mul", "neg", "inverse"])
 def test_device_matches_host(op):
+    import jax
+
     a = np.concatenate([rand_felts(256), EDGE])
     b = np.concatenate([rand_felts(256), EDGE[::-1]])
     da, db = gfd.from_u64(a), gfd.from_u64(b)
     if op == "neg":
-        got, want = gfd.to_u64(gfd.neg(da)), gl.neg(a)
+        got, want = gfd.to_u64(jax.jit(gfd.neg)(da)), gl.neg(a)
     elif op == "inverse":
-        got, want = gfd.to_u64(gfd.inverse(da)), gl.inverse(a)
+        got, want = gfd.to_u64(jax.jit(gfd.inverse)(da)), gl.inverse(a)
     else:
-        got = gfd.to_u64(getattr(gfd, op)(da, db))
+        got = gfd.to_u64(jax.jit(getattr(gfd, op))(da, db))
         want = getattr(gl, op)(a, b)
     np.testing.assert_array_equal(got, want)
 

@@ -64,15 +64,20 @@ def test_host_lde():
 
 
 def test_device_matches_host():
+    import functools
+
+    import jax
+
     coeffs = RNG.integers(0, gl.P_INT, size=(5, 256), dtype=np.uint64)
     d = gfd.from_u64(coeffs)
-    np.testing.assert_array_equal(gfd.to_u64(nttm.ntt(d)), nttm.host_ntt(coeffs))
-    np.testing.assert_array_equal(gfd.to_u64(nttm.intt(d)), nttm.host_intt(coeffs))
+    np.testing.assert_array_equal(gfd.to_u64(jax.jit(nttm.ntt)(d)), nttm.host_ntt(coeffs))
+    np.testing.assert_array_equal(gfd.to_u64(jax.jit(nttm.intt)(d)), nttm.host_intt(coeffs))
     np.testing.assert_array_equal(
-        gfd.to_u64(nttm.coset_ntt(d)), nttm.host_coset_ntt(coeffs)
+        gfd.to_u64(jax.jit(nttm.coset_ntt)(d)), nttm.host_coset_ntt(coeffs)
     )
     np.testing.assert_array_equal(
-        gfd.to_u64(nttm.lde(d, 3)), nttm.host_lde(coeffs, 3)
+        gfd.to_u64(jax.jit(functools.partial(nttm.lde, rate_bits=3))(d)),
+        nttm.host_lde(coeffs, 3),
     )
 
 

@@ -141,6 +141,35 @@ def primitive_root_of_unity(n_log: int) -> int:
     return g
 
 
+def sum_mod(a: np.ndarray, axis: int = -1) -> np.ndarray:
+    """Modular sum along an axis via pairwise folding (log passes)."""
+    a = np.asarray(a, dtype=np.uint64)
+    a = np.moveaxis(a, axis, -1)
+    while a.shape[-1] > 1:
+        n = a.shape[-1]
+        if n % 2 == 1:
+            extra = a[..., -1]
+            a = a[..., :-1]
+        else:
+            extra = None
+        a = add(a[..., 0::2], a[..., 1::2])
+        if extra is not None:
+            a = np.concatenate([a, extra[..., None]], axis=-1)
+            a = np.ascontiguousarray(a)
+    return a[..., 0]
+
+
+def powers(base: int, n: int) -> np.ndarray:
+    """[1, base, base^2, ..., base^(n-1)] as canonical u64."""
+    out = np.empty(n, dtype=np.uint64)
+    acc = 1
+    b = int(base) % P_INT
+    for i in range(n):
+        out[i] = acc
+        acc = (acc * b) % P_INT
+    return out
+
+
 def from_noncanonical_u64(x) -> np.ndarray:
     a = np.asarray(x, dtype=np.uint64)
     return np.where(a >= P, a - P, a)

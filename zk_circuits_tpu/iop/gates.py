@@ -1,0 +1,298 @@
+"""Gate vocabulary for the plonkish constraint system.
+
+Exactly the gates needed by the reference circuits (SURVEY.md §2.2 usage
+surface): arithmetic ops, constants, public inputs, base-2 decompositions
+(range checks / split_le) and the width-12 Poseidon permutation.  Each gate
+occupies one row of the trace and contributes constraints evaluated through
+the algebra abstraction (plonk/algebra.py), so one implementation serves
+host (numpy base/extension) and device (JAX GF) evaluation.
+
+Reference counterparts are the qp-plonky2 gates (external crate); wire
+budgets follow the 135-wire / 80-routed standard config.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, NamedTuple
+
+from ..hash.constants import (
+    ALL_ROUND_CONSTANTS,
+    HALF_N_FULL_ROUNDS,
+    N_PARTIAL_ROUNDS,
+    WIDTH,
+)
+
+
+class EvalVars(NamedTuple):
+    """Per-row values handed to gate evaluators.
+
+    local_constants: (npoints, num_constants)   algebra array
+    local_wires:     (npoints, num_wires)       algebra array
+    public_inputs_hash: (npoints, 4)            algebra array (broadcastable)
+    """
+
+    alg: Any
+    local_constants: Any
+    local_wires: Any
+    public_inputs_hash: Any
+
+
+class Gate:
+    id: str = "Gate"
+    degree: int = 0
+    num_constraints: int = 0
+    num_constants_used: int = 0
+    num_wires_used: int = 0
+
+    def eval(self, v: EvalVars) -> list:
+        raise NotImplementedError
+
+    def __hash__(self):
+        return hash(self.id)
+
+    def __eq__(self, other):
+        return isinstance(other, Gate) and self.id == other.id
+
+
+class NoopGate(Gate):
+    id = "NoopGate"
+    degree = 0
+    num_constraints = 0
+
+    def eval(self, v: EvalVars) -> list:
+        return []
+
+
+@dataclass(frozen=True, eq=False)
+class ConstantGate(Gate):
+    """wires[i] == local_constants[i] for i < num_consts."""
+
+    num_consts: int = 2
+
+    def __post_init__(self):
+        object.__setattr__(self, "id", f"ConstantGate(num_consts={self.num_consts})")
+        object.__setattr__(self, "degree", 1)
+        object.__setattr__(self, "num_constraints", self.num_consts)
+        object.__setattr__(self, "num_constants_used", self.num_consts)
+        object.__setattr__(self, "num_wires_used", self.num_consts)
+
+    def eval(self, v: EvalVars) -> list:
+        return [
+            v.alg.sub(v.alg.col(v.local_wires, i), v.alg.col(v.local_constants, i))
+            for i in range(self.num_consts)
+        ]
+
+
+class PublicInputGate(Gate):
+    """wires[0..4] == hash(public inputs)."""
+
+    id = "PublicInputGate"
+    degree = 1
+    num_constraints = 4
+    num_wires_used = 4
+
+    def eval(self, v: EvalVars) -> list:
+        return [
+            v.alg.sub(v.alg.col(v.local_wires, i), v.alg.col(v.public_inputs_hash, i))
+            for i in range(4)
+        ]
+
+
+@dataclass(frozen=True, eq=False)
+class ArithmeticGate(Gate):
+    """num_ops ops of: out = c0 * m0 * m1 + c1 * addend.
+
+    Wires per op i: [4i]=m0, [4i+1]=m1, [4i+2]=addend, [4i+3]=out.
+    c0, c1 are the row's two constant slots (ops sharing a row share them).
+    """
+
+    num_ops: int = 20
+
+    def __post_init__(self):
+        object.__setattr__(self, "id", f"ArithmeticGate(num_ops={self.num_ops})")
+        object.__setattr__(self, "degree", 3)
+        object.__setattr__(self, "num_constraints", self.num_ops)
+        object.__setattr__(self, "num_constants_used", 2)
+        object.__setattr__(self, "num_wires_used", 4 * self.num_ops)
+
+    def eval(self, v: EvalVars) -> list:
+        alg = v.alg
+        c0 = alg.col(v.local_constants, 0)
+        c1 = alg.col(v.local_constants, 1)
+        out = []
+        for i in range(self.num_ops):
+            m0 = alg.col(v.local_wires, 4 * i)
+            m1 = alg.col(v.local_wires, 4 * i + 1)
+            addend = alg.col(v.local_wires, 4 * i + 2)
+            o = alg.col(v.local_wires, 4 * i + 3)
+            computed = alg.add(alg.mul(c0, alg.mul(m0, m1)), alg.mul(c1, addend))
+            out.append(alg.sub(computed, o))
+        return out
+
+
+@dataclass(frozen=True, eq=False)
+class BaseSum2Gate(Gate):
+    """Base-2 decomposition: wire 0 = sum, wires 1..=num_limbs = bits (LE).
+
+    Constraints: sum - Σ 2^i b_i  and  b_i^2 - b_i  per bit.
+    Used for split_le / range_check (cf. common/src/gadgets.rs:20 usage).
+    """
+
+    num_limbs: int = 32
+
+    def __post_init__(self):
+        object.__setattr__(self, "id", f"BaseSum2Gate(num_limbs={self.num_limbs})")
+        object.__setattr__(self, "degree", 2)
+        object.__setattr__(self, "num_constraints", 1 + self.num_limbs)
+        object.__setattr__(self, "num_wires_used", 1 + self.num_limbs)
+
+    WIRE_SUM = 0
+
+    def limb_wire(self, i: int) -> int:
+        return 1 + i
+
+    def eval(self, v: EvalVars) -> list:
+        alg = v.alg
+        s = alg.col(v.local_wires, 0)
+        acc = None
+        for i in range(self.num_limbs):
+            b = alg.col(v.local_wires, 1 + i)
+            term = alg.mul_scalar(b, 1 << i)
+            acc = term if acc is None else alg.add(acc, term)
+        cons = [alg.sub(s, acc)]
+        for i in range(self.num_limbs):
+            b = alg.col(v.local_wires, 1 + i)
+            cons.append(alg.sub(alg.mul(b, b), b))
+        return cons
+
+
+class PoseidonGate(Gate):
+    """Full width-12 Poseidon permutation in one row (135 wires).
+
+    Wire layout (mirrors the engine's budget; swap/delta wires exist for
+    Merkle-path gadgets and are constrained to behave, though the reference
+    circuits always use swap = 0):
+
+      [0..12)    inputs
+      [12..24)   outputs
+      [24]       swap flag
+      [25..29)   delta_i = swap * (in[4+i] - in[i])
+      [29..65)   full0 round intermediates: state after the constant layer
+                 of rounds 1..3 (3 x 12)
+      [65..87)   partial round S-box inputs (22): state[0] after the dense
+                 constant layer of each partial round
+      [87..135)  full1 round intermediates: state after the constant layer
+                 of the last 4 rounds (4 x 12)
+
+    Partial rounds use the mathematically-equivalent *naive* formulation
+    (dense constant layer + single S-box + full MDS), so the permutation is
+    bit-identical to the reference's Poseidon (validated by golden vectors)
+    while keeping constraint degree <= 7.
+    """
+
+    id = "PoseidonGate(width=12)"
+    degree = 7
+    num_wires_used = 135
+    num_constraints = 1 + 4 + 36 + 22 + 48 + 12
+
+    WIRE_INPUT = 0
+    WIRE_OUTPUT = 12
+    WIRE_SWAP = 24
+    START_DELTA = 25
+    START_FULL_0 = 29
+    START_PARTIAL = 65
+    START_FULL_1 = 87
+
+    @staticmethod
+    def wire_input(i: int) -> int:
+        return PoseidonGate.WIRE_INPUT + i
+
+    @staticmethod
+    def wire_output(i: int) -> int:
+        return PoseidonGate.WIRE_OUTPUT + i
+
+    def eval(self, v: EvalVars) -> list:
+        alg = v.alg
+        w = v.local_wires
+        cons = []
+
+        swap = alg.col(w, self.WIRE_SWAP)
+        cons.append(alg.sub(alg.mul(swap, swap), swap))
+        # delta_i = swap * (rhs_i - lhs_i)
+        deltas = []
+        for i in range(4):
+            lhs = alg.col(w, self.wire_input(i))
+            rhs = alg.col(w, self.wire_input(4 + i))
+            d = alg.col(w, self.START_DELTA + i)
+            deltas.append(d)
+            cons.append(alg.sub(alg.mul(swap, alg.sub(rhs, lhs)), d))
+
+        # swapped inputs
+        state = []
+        for i in range(4):
+            state.append(alg.add(alg.col(w, self.wire_input(i)), deltas[i]))
+        for i in range(4):
+            state.append(alg.sub(alg.col(w, self.wire_input(4 + i)), deltas[i]))
+        for i in range(8, 12):
+            state.append(alg.col(w, self.wire_input(i)))
+
+        rc = 0
+
+        def constant_layer(st, r):
+            return [
+                alg.add_scalar(st[i], ALL_ROUND_CONSTANTS[12 * r + i]) for i in range(WIDTH)
+            ]
+
+        def sbox(x):
+            x2 = alg.mul(x, x)
+            x3 = alg.mul(x2, x)
+            x6 = alg.mul(x3, x3)
+            return alg.mul(x6, x)
+
+        def mds(st):
+            stacked = alg.stack(st)
+            out = alg.mds12(stacked)
+            return [alg.col(out, i) for i in range(WIDTH)]
+
+        # First half full rounds.
+        for r in range(HALF_N_FULL_ROUNDS):
+            state = constant_layer(state, rc)
+            if r > 0:
+                base = self.START_FULL_0 + (r - 1) * WIDTH
+                for i in range(WIDTH):
+                    wv = alg.col(w, base + i)
+                    cons.append(alg.sub(state[i], wv))
+                    state[i] = wv
+            state = [sbox(x) for x in state]
+            state = mds(state)
+            rc += 1
+
+        # Partial rounds (naive form): dense constants, sbox state[0], MDS.
+        for pr in range(N_PARTIAL_ROUNDS):
+            state = constant_layer(state, rc)
+            wv = alg.col(w, self.START_PARTIAL + pr)
+            cons.append(alg.sub(state[0], wv))
+            state[0] = sbox(wv)
+            state = mds(state)
+            rc += 1
+
+        # Last full rounds.
+        for r in range(HALF_N_FULL_ROUNDS):
+            state = constant_layer(state, rc)
+            base = self.START_FULL_1 + r * WIDTH
+            for i in range(WIDTH):
+                wv = alg.col(w, base + i)
+                cons.append(alg.sub(state[i], wv))
+                state[i] = wv
+            state = [sbox(x) for x in state]
+            state = mds(state)
+            rc += 1
+
+        for i in range(WIDTH):
+            cons.append(alg.sub(state[i], alg.col(w, self.wire_output(i))))
+        return cons
+
+
+NOOP = NoopGate()
+POSEIDON = PoseidonGate()

@@ -1,0 +1,340 @@
+"""The PLONK+FRI prover pipeline.
+
+Mirrors the reference engine's prove() structure (SURVEY.md §3.2):
+witness fill → wire polys → LDE+Merkle commit → Fiat–Shamir challenges →
+permutation Z/partial-product polys → quotient on the 8n coset → openings
+at zeta / g·zeta → FRI opening proof with PoW grinding.
+
+Device (JAX) hot paths: wire/Z/quotient LDE + Merkle hashing (fri/oracle),
+and the vanishing-polynomial evaluation over the 8n coset.  Transcript and
+small polynomial algebra stay on host.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from ..fri import fri as frim
+from ..fri.oracle import PolynomialBatch, eval_polys_at_ext
+from ..hash.challenger import Challenger
+from ..host import gl, gle, poseidon as hposeidon
+from ..iop.witness import PartialWitness, generate_witness
+from ..ntt import ntt as nttm
+from . import algebra
+from .proof import OpeningSet, Proof, ProofWithPublicInputs
+from .vanishing import VanishingVars, check_constraints_on_h, eval_vanishing
+
+# Circuits below this LDE size evaluate the quotient on host (JIT overhead
+# dominates); above it, on device.
+_DEVICE_QUOTIENT_MIN_LDE = 1 << 14
+
+
+def _prefix_prod_exclusive(ratios: np.ndarray) -> np.ndarray:
+    """Exclusive modular prefix product along the last axis (Z[0] = 1)."""
+    a = ratios.copy()
+    n = a.shape[-1]
+    shift = 1
+    while shift < n:
+        a[..., shift:] = gl.mul(a[..., shift:], a[..., :-shift])
+        shift *= 2
+    out = np.empty_like(a)
+    out[..., 0] = 1
+    out[..., 1:] = a[..., :-1]
+    return out
+
+
+def compute_zs_and_partial_products(common, prover_only, wires: np.ndarray,
+                                    betas, gammas):
+    """Permutation-argument polynomials.
+
+    wires: (n, num_wires).  Returns values matrix (num_polys, n) ordered
+    [Z_0, Z_1, pp_0 (num_pp), pp_1 (num_pp)]."""
+    cfg = common.config
+    n = common.degree
+    num_routed = cfg.num_routed_wires
+    q = common.quotient_degree_factor
+    num_pp = common.num_partial_products
+    x = prover_only.subgroup  # (n,)
+    sigmas = prover_only.sigmas_values  # (num_routed, n)
+    w = wires.T[:num_routed]  # (num_routed, n)
+
+    zs, pps = [], []
+    for c in range(cfg.num_challenges):
+        beta = np.uint64(betas[c])
+        gamma = np.uint64(gammas[c])
+        kx = gl.mul(common.k_is[:, None], x[None, :])
+        nums = gl.add(w, gl.add(gl.mul(beta, kx), gamma))       # (80, n)
+        dens = gl.add(w, gl.add(gl.mul(beta, sigmas), gamma))   # (80, n)
+        # chunk products (num_chunks, n)
+        num_chunks = (num_routed + q - 1) // q
+        cn = np.empty((num_chunks, n), dtype=np.uint64)
+        cd = np.empty((num_chunks, n), dtype=np.uint64)
+        for t in range(num_chunks):
+            lo, hi = t * q, min((t + 1) * q, num_routed)
+            pn = nums[lo]
+            pd = dens[lo]
+            for j in range(lo + 1, hi):
+                pn = gl.mul(pn, nums[j])
+                pd = gl.mul(pd, dens[j])
+            cn[t] = pn
+            cd[t] = pd
+        cd_inv = gl.inverse(cd)
+        ratios = gl.mul(cn, cd_inv)  # (num_chunks, n)
+        total = ratios[0]
+        for t in range(1, num_chunks):
+            total = gl.mul(total, ratios[t])
+        z = _prefix_prod_exclusive(total)
+        # permutation argument consistency (witness validity)
+        if int(gl.mul(z[-1], total[-1])) != 1:
+            raise ValueError("permutation argument product != 1 (invalid witness)")
+        # partial products: p_t = Z * prod_{tau<=t} ratio_tau, t < num_pp
+        p = z.copy()
+        pp_c = np.empty((num_pp, n), dtype=np.uint64)
+        for t in range(num_pp):
+            p = gl.mul(p, ratios[t])
+            pp_c[t] = p
+        zs.append(z)
+        pps.append(pp_c)
+    values = np.concatenate([np.stack(zs), np.concatenate(pps, axis=0)], axis=0)
+    return values
+
+
+@lru_cache(maxsize=8)
+def _device_quotient_fn(key):
+    """jit-compiled coset vanishing evaluation; key = static circuit identity."""
+    import jax
+
+    common = _device_quotient_fn._common[key]
+
+    def run(cs_lde, wires_lde, zsp_lde, x, l1, pi_hash, betas, gammas, alphas):
+        alg = algebra.DEVICE_BASE
+        cfg = common.config
+        s = common.num_selectors
+        c = cfg.num_constants
+        num_pp = common.num_partial_products
+        zs = [zsp_lde[:, i] for i in range(cfg.num_challenges)]
+        import jax.numpy as jnp
+        from ..field.goldilocks import GF
+
+        def roll_rows(a, k):
+            return GF(jnp.roll(a.lo, -k, axis=0), jnp.roll(a.hi, -k, axis=0))
+
+        zsp_next = roll_rows(zsp_lde, 1 << cfg.rate_bits)
+        vv = VanishingVars(
+            x=x,
+            wires=wires_lde,
+            selectors=cs_lde[:, :s],
+            constants=cs_lde[:, s : s + c],
+            sigmas=cs_lde[:, s + c :],
+            zs=zs,
+            zs_next=[zsp_next[:, i] for i in range(cfg.num_challenges)],
+            partial_products=[
+                zsp_lde[:, cfg.num_challenges + ch * num_pp : cfg.num_challenges + (ch + 1) * num_pp]
+                for ch in range(cfg.num_challenges)
+            ],
+            l1=l1,
+            pi_hash=pi_hash,
+            betas=[betas[i] for i in range(cfg.num_challenges)],
+            gammas=[gammas[i] for i in range(cfg.num_challenges)],
+            alphas=[alphas[i] for i in range(cfg.num_challenges)],
+        )
+        return eval_vanishing(alg, common, vv)
+
+    return jax.jit(run)
+
+
+_device_quotient_fn._common = {}
+
+
+def compute_quotient_values(common, cs_lde, wires_lde, zsp_lde, x, l1, pi_hash,
+                            betas, gammas, alphas, use_device: bool):
+    cfg = common.config
+    if use_device:
+        from ..field import goldilocks as gfd
+
+        key = (id(common), common.degree_bits)
+        _device_quotient_fn._common[key] = common
+        fn = _device_quotient_fn(key)
+        out = fn(
+            gfd.from_u64(cs_lde),
+            gfd.from_u64(wires_lde),
+            gfd.from_u64(zsp_lde),
+            gfd.from_u64(x),
+            gfd.from_u64(l1),
+            gfd.from_u64(pi_hash),
+            gfd.from_u64(np.array(betas, dtype=np.uint64).reshape(-1, 1)),
+            gfd.from_u64(np.array(gammas, dtype=np.uint64).reshape(-1, 1)),
+            gfd.from_u64(np.array(alphas, dtype=np.uint64).reshape(-1, 1)),
+        )
+        return [gfd.to_u64(v) for v in out]
+    alg = algebra.HOST_BASE
+    s = common.num_selectors
+    c = cfg.num_constants
+    num_pp = common.num_partial_products
+    rate = 1 << cfg.rate_bits
+    zsp_next = np.roll(zsp_lde, -rate, axis=0)
+    vv = VanishingVars(
+        x=x,
+        wires=wires_lde,
+        selectors=cs_lde[:, :s],
+        constants=cs_lde[:, s : s + c],
+        sigmas=cs_lde[:, s + c :],
+        zs=[zsp_lde[:, i] for i in range(cfg.num_challenges)],
+        zs_next=[zsp_next[:, i] for i in range(cfg.num_challenges)],
+        partial_products=[
+            zsp_lde[:, cfg.num_challenges + ch * num_pp : cfg.num_challenges + (ch + 1) * num_pp]
+            for ch in range(cfg.num_challenges)
+        ],
+        l1=l1,
+        pi_hash=pi_hash,
+        betas=[np.uint64(b) for b in betas],
+        gammas=[np.uint64(g) for g in gammas],
+        alphas=[np.uint64(a) for a in alphas],
+    )
+    return eval_vanishing(alg, common, vv)
+
+
+def coset_domain_columns(common):
+    """x values, L1(x), and 1/Z_H(x) over the 8n coset (host precompute)."""
+    n = common.degree
+    lde_size = common.lde_size
+    g = gl.MULTIPLICATIVE_GROUP_GENERATOR
+    x = gl.mul(
+        np.uint64(g),
+        gl.powers(gl.primitive_root_of_unity(common.degree_bits + common.config.rate_bits), lde_size),
+    )
+    # Z_H(x) = x^n - 1 is 8-periodic on the coset: x^n = g^n * w_8^i.
+    rate = 1 << common.config.rate_bits
+    gn = pow(g, n, gl.P_INT)
+    w8 = gl.primitive_root_of_unity(common.config.rate_bits)
+    zh_short = np.array(
+        [(gn * pow(w8, i, gl.P_INT) - 1) % gl.P_INT for i in range(rate)], dtype=np.uint64
+    )
+    zh = np.tile(zh_short, lde_size // rate)
+    zh_inv = np.tile(gl.inverse(zh_short), lde_size // rate)
+    # L1(x) = (x^n - 1) / (n * (x - 1))
+    denom = gl.mul(np.uint64(n), gl.sub(x, np.uint64(1)))
+    l1 = gl.mul(zh, gl.inverse(denom))
+    return x, l1, zh_inv
+
+
+def prove(circuit_data, pw: PartialWitness, check_witness: bool = True) -> ProofWithPublicInputs:
+    common = circuit_data.common
+    po = circuit_data.prover_only
+    cfg = common.config
+    n = common.degree
+    cap_h = cfg.fri_config.cap_height
+    use_device = common.lde_size >= _DEVICE_QUOTIENT_MIN_LDE
+
+    # 1. witness
+    wires, public_inputs = generate_witness(circuit_data, pw)
+    pi_hash = hposeidon.hash_no_pad(public_inputs) if len(public_inputs) else np.zeros(4, np.uint64)
+    if check_witness:
+        check_constraints_on_h(common, po, wires, pi_hash)
+
+    # 2. commit wires
+    wires_commitment = PolynomialBatch.from_values(
+        np.ascontiguousarray(wires.T), cfg.rate_bits, cap_h,
+        blinding=cfg.zero_knowledge, use_device=use_device,
+    )
+
+    # 3. challenges: betas, gammas
+    ch = Challenger()
+    ch.observe_hash(circuit_data.verifier_only.circuit_digest)
+    ch.observe_hash(pi_hash)
+    ch.observe_cap(wires_commitment.cap)
+    betas = ch.get_n_challenges(cfg.num_challenges)
+    gammas = ch.get_n_challenges(cfg.num_challenges)
+
+    # 4. permutation polynomials
+    zsp_values = compute_zs_and_partial_products(common, po, wires, betas, gammas)
+    zsp_commitment = PolynomialBatch.from_values(
+        zsp_values, cfg.rate_bits, cap_h,
+        blinding=cfg.zero_knowledge, use_device=use_device,
+    )
+    ch.observe_cap(zsp_commitment.cap)
+    alphas = ch.get_n_challenges(cfg.num_challenges)
+
+    # 5. quotient on the 8n coset
+    x, l1, zh_inv = coset_domain_columns(common)
+    vanishing = compute_quotient_values(
+        common,
+        po.constants_sigmas_commitment.leaves,
+        wires_commitment.leaves,
+        zsp_commitment.leaves,
+        x, l1, pi_hash.reshape(1, 4),
+        betas, gammas, alphas,
+        use_device,
+    )
+    quotient_chunks = []
+    for c in range(cfg.num_challenges):
+        qv = gl.mul(vanishing[c], zh_inv)
+        qc = nttm.host_coset_intt(qv)  # (8n,) coefficients
+        for t in range(common.quotient_degree_factor):
+            quotient_chunks.append(qc[t * n : (t + 1) * n])
+    quotient_commitment = PolynomialBatch.from_coeffs(
+        np.stack(quotient_chunks), cfg.rate_bits, cap_h,
+        blinding=cfg.zero_knowledge, use_device=use_device,
+    )
+    ch.observe_cap(quotient_commitment.cap)
+    zeta = ch.get_extension_challenge()
+
+    # 6. openings
+    g_ext = np.array([gl.primitive_root_of_unity(common.degree_bits), 0], dtype=np.uint64)
+    zeta_next = gle.mul(zeta, g_ext)
+    oracles = [
+        po.constants_sigmas_commitment,
+        wires_commitment,
+        zsp_commitment,
+        quotient_commitment,
+    ]
+    openings = OpeningSet(
+        constants_sigmas=oracles[0].eval_at_ext(zeta),
+        wires=oracles[1].eval_at_ext(zeta),
+        zs_partial_products=oracles[2].eval_at_ext(zeta),
+        quotient=oracles[3].eval_at_ext(zeta),
+        zs_next=eval_polys_at_ext(oracles[2].coeffs[: cfg.num_challenges], zeta_next),
+    )
+    ch.observe_extension_elements(openings.batch0_flat())
+    ch.observe_extension_elements(openings.batch1_flat())
+    alpha = ch.get_extension_challenge()
+
+    # 7. FRI composition: batch 0 at zeta (all polys), batch 1 at g*zeta (Zs)
+    batch0_coeffs = np.concatenate([o.coeffs for o in oracles], axis=0)  # (k, n)
+    comp0 = _reduce_with_alpha(batch0_coeffs, alpha)
+    q0 = frim.divide_by_linear(comp0, zeta)
+    comp1 = _reduce_with_alpha(oracles[2].coeffs[: cfg.num_challenges], alpha)
+    q1 = frim.divide_by_linear(comp1, zeta_next)
+    shift_pow = gle.powmod(alpha, cfg.num_challenges)
+    final = np.zeros((n, 2), dtype=np.uint64)
+    m0 = q0.shape[0]
+    final[:m0] = gle.add(
+        np.pad(q1, ((0, m0 - q1.shape[0]), (0, 0))),
+        gle.mul(np.broadcast_to(shift_pow, (m0, 2)), q0),
+    )
+
+    opening_proof = frim.fri_prove(
+        oracles, final, common.degree_bits, cfg.fri_config, ch
+    )
+
+    proof = Proof(
+        wires_cap=wires_commitment.cap.copy(),
+        zs_partial_products_cap=zsp_commitment.cap.copy(),
+        quotient_cap=quotient_commitment.cap.copy(),
+        openings=openings,
+        opening_proof=opening_proof,
+    )
+    return ProofWithPublicInputs(proof, public_inputs)
+
+
+def _reduce_with_alpha(coeffs: np.ndarray, alpha: np.ndarray) -> np.ndarray:
+    """Σ_i alpha^i * P_i over base-coeff polys (k, n) -> ext coeffs (n, 2)."""
+    from ..fri.oracle import ext_powers
+
+    k, n = coeffs.shape
+    apow = ext_powers(alpha, k)  # (k, 2)
+    c0 = gl.sum_mod(gl.mul(coeffs, apow[:, None, 0]), axis=0)
+    c1 = gl.sum_mod(gl.mul(coeffs, apow[:, None, 1]), axis=0)
+    return np.stack([c0, c1], axis=-1)
