@@ -1,0 +1,65 @@
+"""Headline benchmark: prover polynomial-commit throughput on device.
+
+The reference publishes no numbers (BASELINE.md) and its Rust toolchain is
+not present in this image, so the baseline is this repo's host (numpy)
+golden model of the same commit step — a stand-in for the reference's
+CPU-only engine.  Prints one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+where vs_baseline is the speedup of the device path over the host path.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from zk_circuits_tpu.field import goldilocks as gfd
+    from zk_circuits_tpu.hash import merkle as merklem
+    from zk_circuits_tpu.host import gl
+    from zk_circuits_tpu.ntt import ntt as nttm
+
+    # Wormhole-scale wire commit: 135 wire polynomials, degree 2^13,
+    # rate 8x LDE, cap_height 4 (SURVEY.md §0, §3.2).
+    num_polys, n, rate_bits, cap_height = 135, 1 << 13, 3, 4
+    rng = np.random.default_rng(0)
+    coeffs_u64 = rng.integers(0, gl.P_INT, size=(num_polys, n), dtype=np.uint64)
+
+    @jax.jit
+    def commit_step(coeffs):
+        values = nttm.lde(coeffs, rate_bits)
+        rows = gfd.GF(values.lo.T, values.hi.T)
+        return merklem.device_merkle_levels(rows, cap_height)[-1]
+
+    coeffs = gfd.from_u64(coeffs_u64)
+    cap = commit_step(coeffs)  # compile + warmup
+    jax.block_until_ready(cap.lo)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        cap = commit_step(coeffs)
+    jax.block_until_ready(cap.lo)
+    dev_s = (time.perf_counter() - t0) / iters
+
+    # Host baseline (one iteration; numpy golden model of the same step).
+    t0 = time.perf_counter()
+    values = nttm.host_lde(coeffs_u64, rate_bits)
+    leaves = np.ascontiguousarray(values.T)
+    merklem.MerkleTree.build(leaves, cap_height)
+    host_s = time.perf_counter() - t0
+
+    elems = num_polys * (n << rate_bits)  # LDE output field elements
+    print(json.dumps({
+        "metric": "commit_lde_merkle_135x8192_throughput",
+        "value": round(elems / dev_s / 1e6, 3),
+        "unit": "Mfelt/s",
+        "vs_baseline": round(host_s / dev_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -15,3 +15,9 @@ import jax  # noqa: E402
 # The environment may pre-register an accelerator platform; force CPU here
 # (the env var alone is not authoritative in this image).
 jax.config.update("jax_platforms", "cpu")
+
+# This machine has very few cores and XLA compiles dominate test wall time;
+# cache compiled executables across runs.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")

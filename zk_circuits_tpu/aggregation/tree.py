@@ -1,0 +1,108 @@
+"""Tree aggregation of proofs via recursive verification.
+
+Port of /root/reference/wormhole/aggregator/src/circuits/tree.rs semantics:
+- ``TreeAggregationConfig{branching_factor b, depth d}`` → b^d leaf slots
+  (tree.rs:15-53);
+- level-by-level recursion: every chunk of b proofs is folded by a circuit
+  that verifies the b inner proofs and re-registers their public inputs,
+  so the root proof carries all b^d × leaf_pi felts (tree.rs:106-143).
+
+Improvement over the reference (SURVEY.md §3.4): the reference rebuilds the
+recursion circuit for EVERY chunk at every level; here each level's circuit
+is built once and reused for all chunks of that level (they share shape),
+which also makes per-level chunks batchable across devices.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..iop.builder import CircuitBuilder
+from ..iop.witness import PartialWitness
+from ..plonk.config import CircuitConfig
+from ..recursion.verifier_circuit import (
+    add_virtual_proof_with_pis,
+    add_virtual_verifier_data,
+    set_proof_with_pis_target,
+    set_verifier_data_target,
+    verify_proof_circuit,
+)
+
+
+@dataclass(frozen=True)
+class TreeAggregationConfig:
+    """tree.rs:15-53; defaults b=2, d=3 → 8 leaves."""
+
+    branching_factor: int = 2
+    depth: int = 3
+
+    def __post_init__(self):
+        assert self.branching_factor >= 2
+        assert self.depth >= 1
+
+    @property
+    def num_leaf_proofs(self) -> int:
+        return self.branching_factor ** self.depth
+
+    @staticmethod
+    def default() -> "TreeAggregationConfig":
+        return TreeAggregationConfig()
+
+
+class LevelCircuit:
+    """One aggregation level: verifies ``branching_factor`` proofs of the
+    inner circuit and concatenates their public inputs."""
+
+    def __init__(self, inner_common, branching_factor: int,
+                 config: CircuitConfig | None = None):
+        self.inner_common = inner_common
+        self.branching_factor = branching_factor
+        cfg = config or inner_common.config
+        builder = CircuitBuilder(cfg)
+        cap_h = inner_common.config.fri_config.cap_height
+        self.verifier_data_targets = add_virtual_verifier_data(builder, cap_h)
+        self.proof_targets = []
+        for _ in range(branching_factor):
+            pt = add_virtual_proof_with_pis(builder, inner_common)
+            builder.register_public_inputs(pt.public_inputs)
+            self.proof_targets.append(pt)
+        for pt in self.proof_targets:
+            verify_proof_circuit(builder, inner_common, pt,
+                                 self.verifier_data_targets)
+        self.circuit_data = builder.build()
+
+    def prove_chunk(self, proofs: list, inner_verifier_only):
+        assert len(proofs) == self.branching_factor
+        pw = PartialWitness()
+        set_verifier_data_target(pw, self.verifier_data_targets,
+                                 inner_verifier_only)
+        for pt, proof in zip(self.proof_targets, proofs):
+            set_proof_with_pis_target(pw, pt, proof)
+        return self.circuit_data.prove(pw)
+
+
+def aggregate_to_tree(proofs: list, inner_common, inner_verifier_only,
+                      config: TreeAggregationConfig) -> tuple:
+    """Fold proofs level by level; returns (root_proof, root_circuit_data).
+
+    All proofs must come from the same inner circuit.  len(proofs) must be
+    b^d (pad with dummy proofs first — aggregator.py)."""
+    b = config.branching_factor
+    assert len(proofs) == config.num_leaf_proofs
+    common = inner_common
+    verifier_only = inner_verifier_only
+    level_data = None
+    while len(proofs) > 1:
+        level = LevelCircuit(common, b)
+        next_proofs = []
+        for i in range(0, len(proofs), b):
+            next_proofs.append(
+                level.prove_chunk(proofs[i : i + b], verifier_only)
+            )
+        proofs = next_proofs
+        level_data = level.circuit_data
+        common = level_data.common
+        verifier_only = level_data.verifier_only
+    return proofs[0], level_data

@@ -219,14 +219,31 @@ def mul_const(a: GF, c: int) -> GF:
 
 
 def powmod(a: GF, e: int) -> GF:
-    result = ones(a.shape)
-    base = a
-    while e > 0:
-        if e & 1:
-            result = mul(result, base)
-        base = mul(base, base)
-        e >>= 1
-    return result
+    """a^e for a static exponent.  Small exponents unroll; large ones use a
+    lax.scan over the exponent bits so the compiled graph stays O(1) muls
+    (a fully unrolled 64-bit square-and-multiply chain takes XLA minutes to
+    compile)."""
+    if e < 16:
+        result = ones(a.shape)
+        base = a
+        while e > 0:
+            if e & 1:
+                result = mul(result, base)
+            base = mul(base, base)
+            e >>= 1
+        return result
+
+    nbits = e.bit_length()
+    bits = jnp.asarray([(e >> i) & 1 for i in range(nbits)], dtype=jnp.bool_)
+
+    def step(carry, bit):
+        acc, sq = carry
+        acc = select(bit, mul(acc, sq), acc)
+        sq = square(sq)
+        return (acc, sq), None
+
+    (acc, _), _ = jax.lax.scan(step, (ones(a.shape), a), bits)
+    return acc
 
 
 def inverse(a: GF) -> GF:

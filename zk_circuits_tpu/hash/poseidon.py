@@ -78,43 +78,77 @@ def _constant_layer(state: GF, r: int) -> GF:
     return gf.add(state, rc)
 
 
+def _add_rc(state: GF, rc_lo, rc_hi) -> GF:
+    rc = GF(
+        jnp.broadcast_to(rc_lo, state.lo.shape),
+        jnp.broadcast_to(rc_hi, state.hi.shape),
+    )
+    return gf.add(state, rc)
+
+
 def permute(state: GF) -> GF:
-    """Poseidon permutation on state with trailing dim 12 (any batch dims)."""
-    r = 0
-    for _ in range(HALF_N_FULL_ROUNDS):
-        state = _constant_layer(state, r)
-        state = _sbox(state)
-        state = _mds_layer(state)
-        r += 1
-    for _ in range(N_PARTIAL_ROUNDS):
-        state = _constant_layer(state, r)
-        s0 = _sbox(state[..., 0:1])
-        state = GF(
-            jnp.concatenate([s0.lo, state.lo[..., 1:]], axis=-1),
-            jnp.concatenate([s0.hi, state.hi[..., 1:]], axis=-1),
+    """Poseidon permutation on state with trailing dim 12 (any batch dims).
+
+    Rounds run under ``lax.scan`` (round constants as the scanned xs) so the
+    compiled graph holds ONE full-round body and ONE partial-round body —
+    a fully unrolled permutation is ~9k HLO ops and a hash tree of them
+    made XLA compile for minutes."""
+
+    def full_round(s: GF, xs):
+        rc_lo, rc_hi = xs
+        s = _add_rc(s, rc_lo, rc_hi)
+        s = _sbox(s)
+        return _mds_layer(s), None
+
+    def partial_round(s: GF, xs):
+        rc_lo, rc_hi = xs
+        s = _add_rc(s, rc_lo, rc_hi)
+        s0 = _sbox(s[..., 0:1])
+        s = GF(
+            jnp.concatenate([s0.lo, s.lo[..., 1:]], axis=-1),
+            jnp.concatenate([s0.hi, s.hi[..., 1:]], axis=-1),
         )
-        state = _mds_layer(state)
-        r += 1
-    for _ in range(HALF_N_FULL_ROUNDS):
-        state = _constant_layer(state, r)
-        state = _sbox(state)
-        state = _mds_layer(state)
-        r += 1
+        return _mds_layer(s), None
+
+    h = HALF_N_FULL_ROUNDS
+    p = N_PARTIAL_ROUNDS
+    state, _ = jax.lax.scan(full_round, state, (_RC_LO[:h], _RC_HI[:h]))
+    state, _ = jax.lax.scan(partial_round, state, (_RC_LO[h : h + p], _RC_HI[h : h + p]))
+    state, _ = jax.lax.scan(full_round, state, (_RC_LO[h + p :], _RC_HI[h + p :]))
     return state
 
 
 def batch_hash_no_pad(inputs: GF) -> GF:
     """hash_no_pad over a batch: inputs (batch, n) -> (batch, 4).
 
-    n is static; absorption runs ceil(n / 8) permutations."""
+    n is static; absorption runs ceil(n / 8) permutations.  Full-rate
+    chunks are absorbed under ``lax.scan`` so the graph holds one
+    permutation body regardless of n (unrolled absorption of wide leaves
+    dominated XLA compile time)."""
     batch, n = inputs.shape
     state = gf.zeros((batch, WIDTH))
-    for i in range(0, n, RATE):
-        chunk = inputs[:, i : i + RATE]
-        k = chunk.shape[1]
+    nfull = n // RATE
+    if nfull:
+        full = inputs[:, : nfull * RATE]
+        chunks = GF(
+            jnp.moveaxis(full.lo.reshape(batch, nfull, RATE), 1, 0),
+            jnp.moveaxis(full.hi.reshape(batch, nfull, RATE), 1, 0),
+        )  # (nfull, batch, RATE)
+
+        def absorb(st: GF, chunk: GF):
+            st = GF(
+                jnp.concatenate([chunk.lo, st.lo[:, RATE:]], axis=1),
+                jnp.concatenate([chunk.hi, st.hi[:, RATE:]], axis=1),
+            )
+            return permute(st), None
+
+        state, _ = jax.lax.scan(absorb, state, chunks)
+    tail = n - nfull * RATE
+    if tail:
+        chunk = inputs[:, nfull * RATE :]
         state = GF(
-            jnp.concatenate([chunk.lo, state.lo[:, k:]], axis=1),
-            jnp.concatenate([chunk.hi, state.hi[:, k:]], axis=1),
+            jnp.concatenate([chunk.lo, state.lo[:, tail:]], axis=1),
+            jnp.concatenate([chunk.hi, state.hi[:, tail:]], axis=1),
         )
         state = permute(state)
     return state[:, :4]

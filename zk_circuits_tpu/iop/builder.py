@@ -295,8 +295,23 @@ class CircuitBuilder:
     # decomposition / range checks
     # ------------------------------------------------------------------
 
+    def inverse(self, x: int) -> int:
+        """Witnessed base-field inverse: constrain x * inv == 1 (x must be
+        nonzero for a satisfiable witness)."""
+        inv = self.add_virtual_target()
+        self.generators.append(GeneratorOp("eq_inv", inputs=(x,), outputs=(inv,)))
+        prod = self.mul(x, inv)
+        self.connect(prod, self.one())
+        return inv
+
+    def div(self, x: int, y: int) -> int:
+        return self.mul(x, self.inverse(y))
+
     def split_le(self, x: int, num_bits: int) -> list[T.BoolTarget]:
-        assert 1 <= num_bits <= 63
+        # 64-bit decompositions (FRI query indices) share qp-plonky2's
+        # documented ambiguity: felts < 2^32-1 have two 64-bit encodings
+        # mod p; acceptable for query sampling.
+        assert 1 <= num_bits <= 64
         gate = BaseSum2Gate(num_limbs=num_bits)
         row = self._add_row(gate)
         self.connect(x, T.wire(row, 0))

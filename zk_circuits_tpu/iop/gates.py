@@ -130,6 +130,23 @@ class ArithmeticGate(Gate):
             out.append(alg.sub(computed, o))
         return out
 
+    def eval_device(self, v: EvalVars) -> list:
+        """Vectorized over the num_ops axis (one mul chain instead of 20)."""
+        from ..field import goldilocks as gfd
+        from ..field.goldilocks import GF
+
+        w = v.local_wires  # GF (npoints, num_wires)
+        quad = w[..., : 4 * self.num_ops]
+        quad = quad.reshape(quad.shape[0], self.num_ops, 4)
+        m0, m1, addend, o = (quad[..., j] for j in range(4))
+        c0 = v.local_constants[..., 0]
+        c1 = v.local_constants[..., 1]
+        c0b = GF(c0.lo[:, None], c0.hi[:, None])
+        c1b = GF(c1.lo[:, None], c1.hi[:, None])
+        computed = gfd.add(gfd.mul(c0b, gfd.mul(m0, m1)), gfd.mul(c1b, addend))
+        diff = gfd.sub(computed, o)  # (npoints, num_ops)
+        return [diff[..., i] for i in range(self.num_ops)]
+
 
 @dataclass(frozen=True, eq=False)
 class BaseSum2Gate(Gate):
@@ -165,6 +182,28 @@ class BaseSum2Gate(Gate):
             b = alg.col(v.local_wires, 1 + i)
             cons.append(alg.sub(alg.mul(b, b), b))
         return cons
+
+    def eval_device(self, v: EvalVars) -> list:
+        """Vectorized: one weighted-sum + one booleanity check over all limbs."""
+        import numpy as np
+
+        from ..field import goldilocks as gfd
+        from ..field.goldilocks import GF
+        from ..host import gl
+
+        w = v.local_wires
+        s = w[..., 0]
+        bits = w[..., 1 : 1 + self.num_limbs]  # (npoints, num_limbs)
+        pow2 = gfd.from_u64(
+            np.array([(1 << i) % gl.P_INT for i in range(self.num_limbs)],
+                     dtype=np.uint64)
+        )
+        weighted = gfd.mul(bits, GF(pow2.lo[None, :], pow2.hi[None, :]))
+        acc = weighted[..., 0]
+        for i in range(1, self.num_limbs):
+            acc = gfd.add(acc, weighted[..., i])
+        boolean = gfd.sub(gfd.mul(bits, bits), bits)
+        return [gfd.sub(s, acc)] + [boolean[..., i] for i in range(self.num_limbs)]
 
 
 class PoseidonGate(Gate):
@@ -293,6 +332,160 @@ class PoseidonGate(Gate):
             cons.append(alg.sub(state[i], alg.col(w, self.wire_output(i))))
         return cons
 
+    def eval_device(self, v: EvalVars) -> list:
+        """Device fast path: rounds under lax.scan so the jitted quotient
+        graph holds three round bodies instead of 30 unrolled rounds
+        (the unrolled graph took XLA tens of minutes to compile).
+        Constraint ORDER matches eval() exactly — the verifier reduces the
+        same slots with alphas on host."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..field import goldilocks as gfd
+        from ..field.goldilocks import GF
+        from ..hash.poseidon import _mds_layer
+
+        w = v.local_wires  # GF (npoints, 135)
+        rc_np = __import__("numpy").array(ALL_ROUND_CONSTANTS, dtype="uint64").reshape(
+            30, WIDTH
+        )
+
+        def rc_gf(r0, r1):
+            sub = rc_np[r0:r1]
+            return GF(
+                jnp.asarray((sub & 0xFFFFFFFF).astype("uint32")),
+                jnp.asarray((sub >> 32).astype("uint32")),
+            )
+
+        def sbox(x):
+            x2 = gfd.mul(x, x)
+            x3 = gfd.mul(x2, x)
+            return gfd.mul(gfd.mul(x3, x3), x)
+
+        cons = []
+        swap = w[..., self.WIRE_SWAP]
+        cons.append(gfd.sub(gfd.mul(swap, swap), swap))
+        deltas = []
+        for i in range(4):
+            lhs = w[..., self.wire_input(i)]
+            rhs = w[..., self.wire_input(4 + i)]
+            d = w[..., self.START_DELTA + i]
+            deltas.append(d)
+            cons.append(gfd.sub(gfd.mul(swap, gfd.sub(rhs, lhs)), d))
+
+        state_cols = []
+        for i in range(4):
+            state_cols.append(gfd.add(w[..., self.wire_input(i)], deltas[i]))
+        for i in range(4):
+            state_cols.append(gfd.sub(w[..., self.wire_input(4 + i)], deltas[i]))
+        for i in range(8, 12):
+            state_cols.append(w[..., self.wire_input(i)])
+        state = gfd.stack(state_cols, axis=-1)  # (npoints, 12)
+
+        def bcast_rc(rc_row, like):
+            return GF(
+                jnp.broadcast_to(rc_row.lo, like.shape),
+                jnp.broadcast_to(rc_row.hi, like.shape),
+            )
+
+        # Round 0 (no wire read).
+        rc0 = rc_gf(0, 1)
+        state = gfd.add(state, bcast_rc(rc0[0], state))
+        state = sbox(state)
+        state = _mds_layer(state)
+
+        # Full rounds 1..3: read trace wires, emit 12 constraints each.
+        full0_wires = gfd.stack(
+            [
+                w[..., self.START_FULL_0 + r * WIDTH : self.START_FULL_0 + (r + 1) * WIDTH]
+                for r in range(HALF_N_FULL_ROUNDS - 1)
+            ],
+            axis=0,
+        )  # (3, npoints, 12)
+
+        def full_body(st, xs):
+            rc_row, wires_row = xs
+            st = gfd.add(st, bcast_rc(rc_row, st))
+            c = gfd.sub(st, wires_row)
+            st = _mds_layer(sbox(wires_row))
+            return st, c
+
+        state, full0_cons = jax.lax.scan(
+            full_body, state, (rc_gf(1, HALF_N_FULL_ROUNDS), full0_wires)
+        )
+
+        # Partial rounds: 1 constraint each.
+        h = HALF_N_FULL_ROUNDS
+        partial_wires = gfd.stack(
+            [w[..., self.START_PARTIAL + pr] for pr in range(N_PARTIAL_ROUNDS)],
+            axis=0,
+        )  # (22, npoints)
+
+        def partial_body(st, xs):
+            rc_row, wire = xs
+            st = gfd.add(st, bcast_rc(rc_row, st))
+            c = gfd.sub(st[..., 0], wire)
+            s0 = sbox(wire)
+            st = GF(
+                jnp.concatenate([s0.lo[..., None], st.lo[..., 1:]], axis=-1),
+                jnp.concatenate([s0.hi[..., None], st.hi[..., 1:]], axis=-1),
+            )
+            return _mds_layer(st), c
+
+        state, partial_cons = jax.lax.scan(
+            partial_body, state, (rc_gf(h, h + N_PARTIAL_ROUNDS), partial_wires)
+        )
+
+        # Last full rounds: 12 constraints each (before sbox).
+        full1_wires = gfd.stack(
+            [
+                w[..., self.START_FULL_1 + r * WIDTH : self.START_FULL_1 + (r + 1) * WIDTH]
+                for r in range(HALF_N_FULL_ROUNDS)
+            ],
+            axis=0,
+        )
+
+        def full1_body(st, xs):
+            rc_row, wires_row = xs
+            st = gfd.add(st, bcast_rc(rc_row, st))
+            c = gfd.sub(st, wires_row)
+            st = _mds_layer(sbox(wires_row))
+            return st, c
+
+        state, full1_cons = jax.lax.scan(
+            full1_body, state, (rc_gf(h + N_PARTIAL_ROUNDS, 30), full1_wires)
+        )
+
+        # Unpack in eval() order.
+        for r in range(HALF_N_FULL_ROUNDS - 1):
+            for i in range(WIDTH):
+                cons.append(full0_cons[r, ..., i])
+        for pr in range(N_PARTIAL_ROUNDS):
+            cons.append(partial_cons[pr])
+        for r in range(HALF_N_FULL_ROUNDS):
+            for i in range(WIDTH):
+                cons.append(full1_cons[r, ..., i])
+        for i in range(WIDTH):
+            cons.append(gfd.sub(state[..., i], w[..., self.wire_output(i)]))
+        return cons
+
 
 NOOP = NoopGate()
 POSEIDON = PoseidonGate()
+
+
+def gate_from_id(gate_id: str) -> Gate:
+    """Reconstruct a gate from its id string (artifact deserialization)."""
+    if gate_id == "NoopGate":
+        return NOOP
+    if gate_id == "PublicInputGate":
+        return PublicInputGate()
+    if gate_id == "PoseidonGate(width=12)":
+        return POSEIDON
+    if gate_id.startswith("ConstantGate("):
+        return ConstantGate(num_consts=int(gate_id[len("ConstantGate(num_consts="):-1]))
+    if gate_id.startswith("ArithmeticGate("):
+        return ArithmeticGate(num_ops=int(gate_id[len("ArithmeticGate(num_ops="):-1]))
+    if gate_id.startswith("BaseSum2Gate("):
+        return BaseSum2Gate(num_limbs=int(gate_id[len("BaseSum2Gate(num_limbs="):-1]))
+    raise ValueError(f"unknown gate id: {gate_id}")

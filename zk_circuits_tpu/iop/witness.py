@@ -188,6 +188,14 @@ def generate_witness(circuit_data, pw: PartialWitness) -> np.ndarray:
             x = values[d["in_reps"]]
             inv = gl.inverse(x)  # inverse(0) == 0
             set_reps(d["out_reps"], inv)
+        elif batch.kind == "ext_inv":
+            from ..host import gle
+
+            ir = d["in_reps"]  # (m, 2)
+            require(ir)
+            x = np.stack([values[ir[:, 0]], values[ir[:, 1]]], axis=-1)
+            inv = gle.inverse(x)  # (m, 2)
+            set_reps(d["out_reps"], inv)
         else:
             raise ValueError(batch.kind)
 

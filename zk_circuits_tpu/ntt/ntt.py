@@ -126,24 +126,44 @@ def host_lde(coeffs: np.ndarray, rate_bits: int,
 # ---------------------------------------------------------------------------
 
 
+# NB: these cache HOST arrays and convert at the use site — caching jnp
+# arrays created inside a jit trace leaks tracers into later traces.
+
+def _split_u64(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return (
+        (a & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        (a >> np.uint64(32)).astype(np.uint32),
+    )
+
+
 @functools.lru_cache(maxsize=None)
+def _stage_twiddles_u32(n: int):
+    return tuple(_split_u64(tw) for tw in _host_stage_twiddles(n))
+
+
 def _device_stage_twiddles(n: int):
-    return tuple(gfd.from_u64(tw) for tw in _host_stage_twiddles(n))
+    return tuple(
+        GF(jnp.asarray(lo), jnp.asarray(hi)) for lo, hi in _stage_twiddles_u32(n)
+    )
 
 
-@functools.lru_cache(maxsize=None)
 def _device_bit_reverse(n: int):
     return jnp.asarray(_bit_reverse_indices(n))
 
 
 @functools.lru_cache(maxsize=None)
-def _device_powers(base: int, n: int) -> GF:
+def _powers_u32(base: int, n: int):
     powers = np.empty(n, dtype=np.uint64)
     acc = 1
     for k in range(n):
         powers[k] = acc
         acc = (acc * base) % gl.P_INT
-    return gfd.from_u64(powers)
+    return _split_u64(powers)
+
+
+def _device_powers(base: int, n: int) -> GF:
+    lo, hi = _powers_u32(base, n)
+    return GF(jnp.asarray(lo), jnp.asarray(hi))
 
 
 def ntt(coeffs: GF) -> GF:

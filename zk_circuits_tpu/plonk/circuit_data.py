@@ -423,6 +423,13 @@ def _compile_schedule(builder, rep_of, num_reps: int) -> list[ScheduleBatch]:
             data["out_reps"] = np.array(
                 [rep_of[op.outputs[0]] for op in batch_ops], dtype=np.int64
             )
+        elif kind == "ext_inv":
+            data["in_reps"] = np.array(
+                [[rep_of[t] for t in op.inputs] for op in batch_ops], dtype=np.int64
+            )
+            data["out_reps"] = np.array(
+                [[rep_of[t] for t in op.outputs] for op in batch_ops], dtype=np.int64
+            )
         else:
             raise ValueError(f"unknown generator kind {kind}")
         schedule.append(ScheduleBatch(kind, data))

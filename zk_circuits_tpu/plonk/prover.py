@@ -152,11 +152,27 @@ def compute_quotient_values(common, cs_lde, wires_lde, zsp_lde, x, l1, pi_hash,
                             betas, gammas, alphas, use_device: bool):
     cfg = common.config
     if use_device:
+        import os as _os
+        import time as _time
+
         from ..field import goldilocks as gfd
 
         key = (id(common), common.degree_bits)
         _device_quotient_fn._common[key] = common
         fn = _device_quotient_fn(key)
+        if _os.environ.get("ZKT_TIMING"):
+            _t = _time.perf_counter()
+            lowered = fn.lower(
+                gfd.from_u64(cs_lde), gfd.from_u64(wires_lde), gfd.from_u64(zsp_lde),
+                gfd.from_u64(x), gfd.from_u64(l1), gfd.from_u64(pi_hash),
+                gfd.from_u64(np.array(betas, dtype=np.uint64).reshape(-1, 1)),
+                gfd.from_u64(np.array(gammas, dtype=np.uint64).reshape(-1, 1)),
+                gfd.from_u64(np.array(alphas, dtype=np.uint64).reshape(-1, 1)),
+            )
+            print(f"[quotient] lower: {_time.perf_counter() - _t:.2f}s", flush=True)
+            _t = _time.perf_counter()
+            lowered.compile()
+            print(f"[quotient] compile: {_time.perf_counter() - _t:.2f}s", flush=True)
         out = fn(
             gfd.from_u64(cs_lde),
             gfd.from_u64(wires_lde),
@@ -221,6 +237,19 @@ def coset_domain_columns(common):
 
 
 def prove(circuit_data, pw: PartialWitness, check_witness: bool = True) -> ProofWithPublicInputs:
+    import os
+    import time as _time
+
+    _dbg = os.environ.get("ZKT_TIMING")
+    _t0 = _time.perf_counter()
+
+    def _mark(stage: str):
+        nonlocal _t0
+        if _dbg:
+            now = _time.perf_counter()
+            print(f"[prove] {stage}: {now - _t0:.2f}s", flush=True)
+            _t0 = now
+
     common = circuit_data.common
     po = circuit_data.prover_only
     cfg = common.config
@@ -233,6 +262,7 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool = True) -> Proof
     pi_hash = hposeidon.hash_no_pad(public_inputs) if len(public_inputs) else np.zeros(4, np.uint64)
     if check_witness:
         check_constraints_on_h(common, po, wires, pi_hash)
+    _mark("witness+check")
 
     # 2. commit wires
     wires_commitment = PolynomialBatch.from_values(
@@ -246,6 +276,7 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool = True) -> Proof
     ch.observe_hash(pi_hash)
     ch.observe_cap(wires_commitment.cap)
     betas = ch.get_n_challenges(cfg.num_challenges)
+    _mark("wires commit+challenges")
     gammas = ch.get_n_challenges(cfg.num_challenges)
 
     # 4. permutation polynomials
@@ -255,10 +286,12 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool = True) -> Proof
         blinding=cfg.zero_knowledge, use_device=use_device,
     )
     ch.observe_cap(zsp_commitment.cap)
+    _mark("zs+partial products commit")
     alphas = ch.get_n_challenges(cfg.num_challenges)
 
     # 5. quotient on the 8n coset
     x, l1, zh_inv = coset_domain_columns(common)
+    _mark("coset domain")
     vanishing = compute_quotient_values(
         common,
         po.constants_sigmas_commitment.leaves,
@@ -269,6 +302,7 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool = True) -> Proof
         use_device,
     )
     quotient_chunks = []
+    _mark("quotient eval")
     for c in range(cfg.num_challenges):
         qv = gl.mul(vanishing[c], zh_inv)
         qc = nttm.host_coset_intt(qv)  # (8n,) coefficients
@@ -279,6 +313,7 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool = True) -> Proof
         blinding=cfg.zero_knowledge, use_device=use_device,
     )
     ch.observe_cap(quotient_commitment.cap)
+    _mark("quotient commit")
     zeta = ch.get_extension_challenge()
 
     # 6. openings
@@ -300,6 +335,7 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool = True) -> Proof
     ch.observe_extension_elements(openings.batch0_flat())
     ch.observe_extension_elements(openings.batch1_flat())
     alpha = ch.get_extension_challenge()
+    _mark("openings")
 
     # 7. FRI composition: batch 0 at zeta (all polys), batch 1 at g*zeta (Zs)
     batch0_coeffs = np.concatenate([o.coeffs for o in oracles], axis=0)  # (k, n)
@@ -318,6 +354,7 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool = True) -> Proof
     opening_proof = frim.fri_prove(
         oracles, final, common.degree_bits, cfg.fri_config, ch
     )
+    _mark("fri prove")
 
     proof = Proof(
         wires_cap=wires_commitment.cap.copy(),

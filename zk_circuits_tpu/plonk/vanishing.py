@@ -62,7 +62,12 @@ def eval_gate_constraint_slots(alg, common, vv: VanishingVars) -> list:
         if many_groups:
             term = alg.sub_from_scalar(unused, s)
             filt = term if filt is None else alg.mul(filt, term)
-        constraints = gate.eval(ev)
+        from . import algebra as _algebra
+
+        if alg is _algebra.DEVICE_BASE and hasattr(gate, "eval_device"):
+            constraints = gate.eval_device(ev)
+        else:
+            constraints = gate.eval(ev)
         for k, c in enumerate(constraints):
             term = alg.mul(filt, c) if filt is not None else c
             slots[k] = term if slots[k] is None else alg.add(slots[k], term)
@@ -74,7 +79,9 @@ def eval_gate_constraint_slots(alg, common, vv: VanishingVars) -> list:
 
 def _npoints(vv: VanishingVars) -> int:
     x = vv.x
-    return x.shape[0]
+    # In-circuit evaluation (recursion.CircuitAlg) passes scalar targets
+    # with no shape — a single evaluation point.
+    return x.shape[0] if hasattr(x, "shape") else 1
 
 
 def eval_permutation_terms(alg, common, vv: VanishingVars, c: int) -> list:
@@ -108,18 +115,86 @@ def eval_permutation_terms(alg, common, vv: VanishingVars, c: int) -> list:
     return terms
 
 
+def _eval_permutation_terms_device(common, vv: VanishingVars, c: int) -> list:
+    """Vectorized device version of eval_permutation_terms: whole-array ops
+    instead of per-wire slices — cuts JAX tracing from ~80k primitive binds
+    to ~30 (tracing the sliced version took minutes per process)."""
+    from ..field import goldilocks as gfd
+    from ..field.goldilocks import GF
+
+    cfg = common.config
+    q = common.quotient_degree_factor
+    num_routed = cfg.num_routed_wires
+    num_chunks = num_routed // q
+    beta, gamma = vv.betas[c], vv.gammas[c]        # GF (1,)
+    w = vv.wires[..., :num_routed]                 # GF (npoints, 80)
+    sig = vv.sigmas                                # GF (npoints, 80)
+    x2 = GF(vv.x.lo[:, None], vv.x.hi[:, None])    # (npoints, 1)
+    k_gf = gfd.from_u64(common.k_is)               # (80,)
+    kx = gfd.mul(x2, GF(k_gf.lo[None, :], k_gf.hi[None, :]))
+    bb = GF(beta.lo[None, :], beta.hi[None, :])    # (1,1) broadcast
+    gg = GF(gamma.lo[None, :], gamma.hi[None, :])
+    nums = gfd.add(w, gfd.add(gfd.mul(kx, bb), gg))
+    dens = gfd.add(w, gfd.add(gfd.mul(sig, bb), gg))
+    npoints = w.shape[0]
+    nums = nums.reshape(npoints, num_chunks, q)
+    dens = dens.reshape(npoints, num_chunks, q)
+    num_prod = nums[..., 0]
+    den_prod = dens[..., 0]
+    for j in range(1, q):
+        num_prod = gfd.mul(num_prod, nums[..., j])
+        den_prod = gfd.mul(den_prod, dens[..., j])
+    # num_prod/den_prod: (npoints, num_chunks)
+    pps = vv.partial_products[c]
+    num_pp = common.num_partial_products
+    terms = []
+    prev = vv.zs[c]
+    for t in range(num_chunks):
+        cur = pps[..., t] if t < num_pp else vv.zs_next[c]
+        terms.append(
+            gfd.sub(gfd.mul(cur, den_prod[..., t]), gfd.mul(prev, num_prod[..., t]))
+        )
+        prev = cur
+    return terms
+
+
 def eval_vanishing(alg, common, vv: VanishingVars) -> list:
     """Combined vanishing value per challenge: alpha-Horner over
     [L1*(Z-1), permutation terms, gate slots]."""
+    from . import algebra as _algebra
+
+    use_dev_perm = (
+        alg is _algebra.DEVICE_BASE
+        and common.config.num_routed_wires % common.quotient_degree_factor == 0
+    )
     gate_slots = eval_gate_constraint_slots(alg, common, vv)
     out = []
     for c in range(common.config.num_challenges):
         z1_term = alg.mul(vv.l1, alg.add_scalar(vv.zs[c], -1))
-        terms = [z1_term] + eval_permutation_terms(alg, common, vv, c) + gate_slots
+        perm_terms = (
+            _eval_permutation_terms_device(common, vv, c)
+            if use_dev_perm
+            else eval_permutation_terms(alg, common, vv, c)
+        )
+        terms = [z1_term] + perm_terms + gate_slots
         alpha = vv.alphas[c]
-        acc = terms[0]
-        for t in terms[1:]:
-            acc = alg.add(alg.mul(acc, alpha), t)
+        if use_dev_perm:
+            # Horner under lax.scan: one mul+add body instead of ~270
+            # unrolled (XLA CPU compile cost scales with graph size).
+            import jax as _jax
+
+            from ..field import goldilocks as _gfd
+
+            stacked = _gfd.stack(terms[1:], axis=0)  # (nterms-1, npoints)
+
+            def _horner(acc, term):
+                return _gfd.add(_gfd.mul(acc, alpha), term), None
+
+            acc, _ = _jax.lax.scan(_horner, terms[0], stacked)
+        else:
+            acc = terms[0]
+            for t in terms[1:]:
+                acc = alg.add(alg.mul(acc, alpha), t)
         out.append(acc)
     return out
 
