@@ -33,16 +33,24 @@ class MerkleTree:
     def build(leaves: np.ndarray, cap_height: int, leaf_digests: np.ndarray | None = None) -> "MerkleTree":
         n = leaves.shape[0]
         assert n & (n - 1) == 0 and n >= (1 << cap_height)
+        from .. import native
+
+        use_native = native.available()
         if leaf_digests is None:
             if leaves.shape[1] <= 4:
                 leaf_digests = np.zeros((n, 4), dtype=np.uint64)
                 leaf_digests[:, : leaves.shape[1]] = leaves
+            elif use_native:
+                leaf_digests = native.hash_leaves(leaves, or_noop=False)
             else:
                 leaf_digests = hposeidon.batch_hash_no_pad(leaves)
         levels = [leaf_digests]
         while levels[-1].shape[0] > (1 << cap_height):
             cur = levels[-1]
-            levels.append(hposeidon.compress(cur[0::2], cur[1::2]))
+            if use_native:
+                levels.append(native.compress_level(cur))
+            else:
+                levels.append(hposeidon.compress(cur[0::2], cur[1::2]))
         return MerkleTree(leaves, cap_height, levels)
 
     def prove(self, index: int) -> list[np.ndarray]:

@@ -130,6 +130,9 @@ def batch_hash_no_pad(inputs: np.ndarray) -> np.ndarray:
     """hash_no_pad over a batch: inputs (batch, n) -> (batch, 4)."""
     inputs = np.asarray(inputs, dtype=np.uint64)
     batch, n = inputs.shape
+    from .. import native
+    if native.available() and batch > 8:
+        return native.hash_no_pad_batch(inputs)
     state = np.zeros((batch, WIDTH), dtype=np.uint64)
     for i in range(0, n, RATE):
         chunk = inputs[:, i : i + RATE]

@@ -63,6 +63,9 @@ def host_ntt(coeffs: np.ndarray) -> np.ndarray:
     if n == 1:
         return coeffs.copy()
     assert n & (n - 1) == 0
+    from .. import native
+    if native.available():
+        return native.ntt(coeffs)
     x = coeffs[..., _bit_reverse_indices(n)]
     for s, tw in enumerate(_host_stage_twiddles(n)):
         half = 1 << s
