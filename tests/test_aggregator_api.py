@@ -1,0 +1,92 @@
+"""WormholeProofAggregator API semantics (aggregator.rs:51-92) and the
+tree-level plumbing that doesn't need expensive wormhole proofs — the
+reference's own tree tests use a cheap square circuit as the leaf
+(tree.rs:145-244); the full wormhole aggregation path is covered by the
+recursion tests plus the golden wormhole e2e."""
+
+import numpy as np
+import pytest
+
+from zk_circuits_tpu.aggregation.aggregator import WormholeProofAggregator
+from zk_circuits_tpu.aggregation.tree import TreeAggregationConfig, aggregate_to_tree
+from zk_circuits_tpu.circuits.wormhole.inputs import LEAF_PI_LEN, PublicCircuitInputs
+from zk_circuits_tpu.iop.builder import CircuitBuilder
+from zk_circuits_tpu.iop.witness import PartialWitness
+from zk_circuits_tpu.plonk.config import CircuitConfig
+
+
+@pytest.fixture(scope="module")
+def square():
+    builder = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    x = builder.add_virtual_target()
+    builder.register_public_input(builder.square(x))
+    data = builder.build()
+
+    def prove(v: int):
+        pw = PartialWitness()
+        pw.set_target(x, v)
+        return data.prove(pw)
+
+    return data, prove
+
+
+def test_buffer_rejects_overflow(square):
+    data, prove = square
+    agg = WormholeProofAggregator(data.common, data.verifier_only,
+                                  TreeAggregationConfig(2, 1))
+    agg.push(prove(2))
+    agg.push(prove(3))
+    with pytest.raises(ValueError, match="full"):
+        agg.push(prove(4))
+
+
+def test_aggregate_empty_buffer_raises(square):
+    data, _ = square
+    agg = WormholeProofAggregator(data.common, data.verifier_only)
+    with pytest.raises(ValueError, match="no proofs"):
+        agg.aggregate()
+
+
+def test_partial_buffer_requires_dummy(square):
+    data, prove = square
+    agg = WormholeProofAggregator(data.common, data.verifier_only,
+                                  TreeAggregationConfig(2, 2))
+    agg.push(prove(2))
+    with pytest.raises(ValueError, match="dummy"):
+        agg.aggregate()
+
+
+def test_aggregate_with_dummy_padding(square):
+    """Pad 1 real proof to 4 leaves with a dummy (util.rs:11-29 semantics);
+    root PIs = concatenated leaf PIs."""
+    data, prove = square
+    agg = WormholeProofAggregator(data.common, data.verifier_only,
+                                  TreeAggregationConfig(2, 2))
+    agg.push(prove(5))
+    dummy = prove(1)
+    root = agg.aggregate(dummy_proof=dummy)
+    assert root.public_inputs.tolist() == [25, 1, 1, 1]
+    agg.root_circuit_data.verify(root)
+
+
+def test_extract_leaf_public_inputs_requires_aggregate(square):
+    data, _ = square
+    agg = WormholeProofAggregator(data.common, data.verifier_only)
+    with pytest.raises(ValueError, match="aggregate"):
+        agg.extract_leaf_public_inputs()
+
+
+def test_try_from_aggregated_chunks():
+    """inputs.rs:61-89: split a root proof's PIs into per-leaf chunks."""
+    # Synthesize 2 leaves worth of valid wormhole PI felts: each digest felt
+    # must be < 2^63-ish per the codec order check — use small values.
+    import types
+
+    pis = np.zeros(2 * LEAF_PI_LEN, dtype=np.uint64)
+    pis[0:4] = [1, 2, 3, 4]          # nullifier digest felts (leaf 0)
+    pis[16:20] = [5, 6, 7, 8]        # nullifier digest felts (leaf 1)
+    fake_root = types.SimpleNamespace(public_inputs=pis)
+    leaves = PublicCircuitInputs.try_from_aggregated(fake_root, LEAF_PI_LEN, 2)
+    assert len(leaves) == 2
+    assert leaves[0].nullifier != leaves[1].nullifier
+    assert leaves[0].funding_amount == 0

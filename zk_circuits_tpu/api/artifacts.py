@@ -162,3 +162,23 @@ def load_prover(prover_path, common_path):
     )
     data = CircuitData(common, po, vo)
     return WormholeProver(circuit_data=data, targets=blob["targets"])
+
+
+def _main() -> None:
+    """CLI analog of the reference's circuit-builder binary
+    (circuit-builder/src/main.rs): python -m zk_circuits_tpu.api.artifacts
+    [out_dir] [--no-prover]."""
+    import sys
+
+    args = [a for a in sys.argv[1:]]
+    include_prover = "--no-prover" not in args
+    args = [a for a in args if not a.startswith("--")]
+    out_dir = args[0] if args else "generated-bins"
+    print(f"building wormhole circuit -> {out_dir}/", flush=True)
+    generate_circuit_binaries(out_dir, include_prover=include_prover)
+    print("wrote common.bin, verifier.bin"
+          + (", prover.bin" if include_prover else ""))
+
+
+if __name__ == "__main__":
+    _main()

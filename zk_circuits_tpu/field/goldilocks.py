@@ -20,10 +20,12 @@ import jax.numpy as jnp
 import numpy as np
 
 P_INT = 2**64 - 2**32 + 1
-P_LO = jnp.uint32(1)          # low 32 bits of p
-P_HI = jnp.uint32(0xFFFFFFFF)  # high 32 bits of p
-EPS = jnp.uint32(0xFFFFFFFF)   # 2^64 mod p = 2^32 - 1
-MASK16 = jnp.uint32(0xFFFF)
+# numpy (not jnp) scalars: they inline as literals in traced code, which
+# keeps Pallas kernel bodies free of captured device constants.
+P_LO = np.uint32(1)           # low 32 bits of p
+P_HI = np.uint32(0xFFFFFFFF)  # high 32 bits of p
+EPS = np.uint32(0xFFFFFFFF)   # 2^64 mod p = 2^32 - 1
+MASK16 = np.uint32(0xFFFF)
 
 
 class GF(NamedTuple):
