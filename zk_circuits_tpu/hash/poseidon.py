@@ -27,16 +27,19 @@ from .constants import (
     WIDTH,
 )
 
+# NB: module constants stay HOST numpy arrays.  jnp.asarray at import time
+# would create device arrays — and if this module is first imported inside
+# a jit trace (merkle imports it lazily), those become leaked tracers.
 _RC_NP = np.array(ALL_ROUND_CONSTANTS, dtype=np.uint64).reshape(30, WIDTH)
-_RC_LO = jnp.asarray((_RC_NP & 0xFFFFFFFF).astype(np.uint32))
-_RC_HI = jnp.asarray((_RC_NP >> 32).astype(np.uint32))
+_RC_LO = (_RC_NP & 0xFFFFFFFF).astype(np.uint32)
+_RC_HI = (_RC_NP >> 32).astype(np.uint32)
 
 _MDS_NP = np.zeros((WIDTH, WIDTH), dtype=np.int32)
 for _r in range(WIDTH):
     for _i in range(WIDTH):
         _MDS_NP[_r, _i] = MDS_MATRIX_CIRC[(_i - _r) % WIDTH]
     _MDS_NP[_r, _r] += MDS_MATRIX_DIAG[_r]
-_MDS_T = jnp.asarray(_MDS_NP.T)  # (in, out) so state @ _MDS_T applies M
+_MDS_T = np.ascontiguousarray(_MDS_NP.T)  # (in, out): state @ _MDS_T applies M
 
 
 def _sbox(x: GF) -> GF:

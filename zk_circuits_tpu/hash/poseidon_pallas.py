@@ -3,15 +3,22 @@
 The Merkle commit's leaf hashing is the prover's HBM-bandwidth hot spot:
 hashing an (N, C) leaf matrix takes ceil(C/8) permutations of a width-12
 state per row.  The stock XLA path (hash/poseidon.py) runs the rounds
-under ``lax.scan`` whose (N, 12) carry streams through HBM every round —
-~30 x 2 x 96 B of traffic per row per absorption.  This kernel keeps the
-state tile resident in VMEM for the WHOLE sponge (all absorptions, all
-rounds), reducing HBM traffic to one read of the leaf row plus one write
-of the 4-felt digest.
+under ``lax.scan`` whose (N, 12) carry streams through HBM every round.
+This kernel keeps the state tile resident in VMEM for the WHOLE sponge
+(all absorptions, all rounds): HBM traffic drops to one read of the leaf
+row plus one write of the 4-felt digest.
 
-Same field/round semantics as hash/poseidon.py (which is itself validated
-against the reference golden vectors); parity is tested in
-tests/test_poseidon.py.
+Design notes (TPU vector unit):
+- The state is 12 SEPARATE (TILE,) vectors, not a (TILE, 12) array — a
+  12-wide minor axis would waste 116/128 lanes on every VPU op.
+- The MDS multiply is an unrolled multiply-add over 16-bit sublimb planes
+  with the small circulant coefficients inlined as scalars (Mosaic has no
+  int32 MXU matmul).
+- Rounds run under ``fori_loop`` with a uniform body (the partial-round
+  S-box is selected per lane), round constants prefetched in SMEM.
+
+Semantics identical to hash/poseidon.py (validated against the reference
+golden vectors); parity is tested in tests/test_poseidon.py.
 """
 
 from __future__ import annotations
@@ -40,95 +47,103 @@ _RC_NP = np.array(ALL_ROUND_CONSTANTS, dtype=np.uint64).reshape(30, WIDTH)
 _RC_LO_NP = (_RC_NP & 0xFFFFFFFF).astype(np.uint32)
 _RC_HI_NP = (_RC_NP >> 32).astype(np.uint32)
 
-_MDS_NP = np.zeros((WIDTH, WIDTH), dtype=np.int32)
+# M[r][c]: coefficient of state[c] in output row r.
+_MDS = np.zeros((WIDTH, WIDTH), dtype=np.int64)
 for _r in range(WIDTH):
     for _i in range(WIDTH):
-        _MDS_NP[_r, _i] = MDS_MATRIX_CIRC[(_i - _r) % WIDTH]
-    _MDS_NP[_r, _r] += MDS_MATRIX_DIAG[_r]
-_MDS_T_NP = np.ascontiguousarray(_MDS_NP.T)  # (in, out): state @ MDS_T
+        _MDS[_r, (_r + _i) % WIDTH] += MDS_MATRIX_CIRC[_i]
+    _MDS[_r, _r] += MDS_MATRIX_DIAG[_r]
+_MDS = [[int(v) for v in row] for row in _MDS]
 
-# Rows per kernel invocation.  State tile: TR x 12 x 2 x 4 B = 96*TR bytes;
-# plus the leaf tile TR x C x 8 B.  For C = 139: TR=512 -> ~0.6 MB leaf +
-# 48 KB state, comfortably in VMEM with double buffering.
 _TILE_ROWS = 512
-
 _M16 = np.uint32(0xFFFF)
 
 
-def _mds_layer(state: GF, mds_t) -> GF:
-    """Exact MDS multiply via 16-bit sublimb int32 matmuls (MXU)."""
-    planes = [
-        (state.lo & _M16).astype(jnp.int32),
-        (state.lo >> 16).astype(jnp.int32),
-        (state.hi & _M16).astype(jnp.int32),
-        (state.hi >> 16).astype(jnp.int32),
-    ]
-    sums = [
-        jnp.matmul(p, mds_t, preferred_element_type=jnp.int32).astype(jnp.uint32)
-        for p in planes
-    ]  # each < 2^25
-    s0, s1, s2, s3 = sums
-    r0 = s0 + ((s1 & _M16) << 16)
-    c0 = (r0 < s0).astype(jnp.uint32)
-    t = s2 + (s1 >> 16) + c0
-    r1 = t + ((s3 & _M16) << 16)
-    c1 = (r1 < t).astype(jnp.uint32)
-    r2 = (s3 >> 16) + c1
-    r3 = jnp.zeros_like(r2)
-    return gf._reduce128(r0, r1, r2, r3)
-
-
-def _sbox(x: GF) -> GF:
+def _sbox1(lo, hi):
+    x = GF(lo, hi)
     x2 = gf.mul(x, x)
     x3 = gf.mul(x2, x)
     x6 = gf.mul(x3, x3)
-    return gf.mul(x6, x)
+    r = gf.mul(x6, x)
+    return r.lo, r.hi
 
 
-def _add_rc(state: GF, r_lo, r_hi) -> GF:
-    rc = GF(jnp.broadcast_to(r_lo, state.lo.shape),
-            jnp.broadcast_to(r_hi, state.hi.shape))
-    return gf.add(state, rc)
+def _mds_lanes(los, his):
+    """MDS over 12 (TILE,) lane vectors via sublimb-plane multiply-adds."""
+    planes = [
+        [(lo & _M16).astype(jnp.int32) for lo in los],
+        [(lo >> 16).astype(jnp.int32) for lo in los],
+        [(hi & _M16).astype(jnp.int32) for hi in his],
+        [(hi >> 16).astype(jnp.int32) for hi in his],
+    ]
+    out_lo, out_hi = [], []
+    for r in range(WIDTH):
+        coeffs = _MDS[r]
+        sums = []
+        for p in planes:
+            acc = p[0] * coeffs[0]
+            for c in range(1, WIDTH):
+                acc = acc + p[c] * coeffs[c]   # < 2^25, no overflow
+            sums.append(acc.astype(jnp.uint32))
+        s0, s1, s2, s3 = sums
+        r0 = s0 + ((s1 & _M16) << 16)
+        c0 = (r0 < s0).astype(jnp.uint32)
+        t = s2 + (s1 >> 16) + c0
+        r1 = t + ((s3 & _M16) << 16)
+        c1 = (r1 < t).astype(jnp.uint32)
+        r2 = (s3 >> 16) + c1
+        res = gf._reduce128(r0, r1, r2, jnp.zeros_like(r2))
+        out_lo.append(res.lo)
+        out_hi.append(res.hi)
+    return out_lo, out_hi
 
 
-def _permute_unrolled(state: GF, rc_lo, rc_hi, mds_t) -> GF:
-    """All 30 rounds unrolled — fine inside one Pallas kernel body."""
+def _permute_lanes(los, his, rc_lo_ref, rc_hi_ref):
+    """30 rounds via one fori_loop with a uniform body; the partial-round
+    S-box is restricted to lane 0 with a scalar select."""
     h, p = HALF_N_FULL_ROUNDS, N_PARTIAL_ROUNDS
-    for r in range(h):
-        state = _sbox(_add_rc(state, rc_lo[r], rc_hi[r]))
-        state = _mds_layer(state, mds_t)
-    for r in range(h, h + p):
-        state = _add_rc(state, rc_lo[r], rc_hi[r])
-        s0 = _sbox(state[:, 0:1])
-        state = GF(
-            jnp.concatenate([s0.lo, state.lo[:, 1:]], axis=1),
-            jnp.concatenate([s0.hi, state.hi[:, 1:]], axis=1),
-        )
-        state = _mds_layer(state, mds_t)
-    for r in range(h + p, h + p + h):
-        state = _sbox(_add_rc(state, rc_lo[r], rc_hi[r]))
-        state = _mds_layer(state, mds_t)
-    return state
+
+    def body(i, carry):
+        los, his = carry
+        is_full = jnp.logical_or(i < h, i >= h + p)
+        new_lo, new_hi = [], []
+        for j in range(WIDTH):
+            a = GF(los[j], his[j])
+            rc = GF(jnp.broadcast_to(rc_lo_ref[i, j], a.lo.shape),
+                    jnp.broadcast_to(rc_hi_ref[i, j], a.hi.shape))
+            a = gf.add(a, rc)
+            s_lo, s_hi = _sbox1(a.lo, a.hi)
+            if j == 0:
+                new_lo.append(s_lo)
+                new_hi.append(s_hi)
+            else:
+                new_lo.append(jnp.where(is_full, s_lo, a.lo))
+                new_hi.append(jnp.where(is_full, s_hi, a.hi))
+        new_lo, new_hi = _mds_lanes(new_lo, new_hi)
+        return (tuple(new_lo), tuple(new_hi))
+
+    los, his = jax.lax.fori_loop(0, h + p + h, body, (tuple(los), tuple(his)))
+    return list(los), list(his)
 
 
-def _leaf_hash_kernel(cols: int, lo_ref, hi_ref, rc_lo_ref, rc_hi_ref,
-                      mds_ref, out_lo_ref, out_hi_ref):
+def _leaf_hash_kernel(cols: int, rc_lo_ref, rc_hi_ref, lo_ref, hi_ref,
+                      out_lo_ref, out_hi_ref):
+    # Lane vectors are kept 2-D (tr//128, 128) — Mosaic's layout inference
+    # does not handle rank-1 vectors.
     tr = lo_ref.shape[0]
-    rc_lo = rc_lo_ref[:, :]
-    rc_hi = rc_hi_ref[:, :]
-    mds_t = mds_ref[:, :]
-    state = gf.zeros((tr, WIDTH))
+    shape2d = (tr // 128, 128)
+    zeros = jnp.zeros(shape2d, jnp.uint32)
+    los = [zeros] * WIDTH
+    his = [zeros] * WIDTH
     for off in range(0, cols, RATE):
         chunk = min(RATE, cols - off)
-        c_lo = lo_ref[:, off : off + chunk]
-        c_hi = hi_ref[:, off : off + chunk]
-        state = GF(
-            jnp.concatenate([c_lo, state.lo[:, chunk:]], axis=1),
-            jnp.concatenate([c_hi, state.hi[:, chunk:]], axis=1),
-        )
-        state = _permute_unrolled(state, rc_lo, rc_hi, mds_t)
-    out_lo_ref[:, :] = state.lo[:, :4]
-    out_hi_ref[:, :] = state.hi[:, :4]
+        for j in range(chunk):
+            los[j] = lo_ref[:, off + j].reshape(shape2d)
+            his[j] = hi_ref[:, off + j].reshape(shape2d)
+        los, his = _permute_lanes(los, his, rc_lo_ref, rc_hi_ref)
+    for j in range(4):
+        out_lo_ref[:, j] = los[j].reshape(tr)
+        out_hi_ref[:, j] = his[j].reshape(tr)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -145,20 +160,17 @@ def _hash_leaves_tiled(leaves: GF, interpret: bool) -> GF:
     leaf_spec = pl.BlockSpec((tile, cols), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     rc_spec = pl.BlockSpec((30, WIDTH), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM)
-    mds_spec = pl.BlockSpec((WIDTH, WIDTH), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
+                           memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((tile, 4), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     lo, hi = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[leaf_spec, leaf_spec, rc_spec, rc_spec, mds_spec],
+        in_specs=[rc_spec, rc_spec, leaf_spec, leaf_spec],
         out_specs=(out_spec, out_spec),
         out_shape=out_shape,
         interpret=interpret,
-    )(leaves.lo, leaves.hi,
-      jnp.asarray(_RC_LO_NP), jnp.asarray(_RC_HI_NP), jnp.asarray(_MDS_T_NP))
+    )(jnp.asarray(_RC_LO_NP), jnp.asarray(_RC_HI_NP), leaves.lo, leaves.hi)
     return GF(lo, hi)
 
 
