@@ -51,10 +51,11 @@ class WormholeProofAggregator:
     """Buffers wormhole proofs and folds them into one recursive proof."""
 
     def __init__(self, inner_common, inner_verifier_only,
-                 config: TreeAggregationConfig | None = None):
+                 config: TreeAggregationConfig | None = None, mesh=None):
         self.inner_common = inner_common
         self.inner_verifier_only = inner_verifier_only
         self.config = config or TreeAggregationConfig.default()
+        self.mesh = mesh  # batch-prove each level's chunks across chips
         self.proofs: list = []
         self.root_proof = None
         self.root_circuit_data = None
@@ -82,7 +83,8 @@ class WormholeProofAggregator:
                 )
             proofs += [dummy_proof] * (self.config.num_leaf_proofs - len(proofs))
         self.root_proof, self.root_circuit_data = aggregate_to_tree(
-            proofs, self.inner_common, self.inner_verifier_only, self.config
+            proofs, self.inner_common, self.inner_verifier_only, self.config,
+            mesh=self.mesh,
         )
         return self.root_proof
 

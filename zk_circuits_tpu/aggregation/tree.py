@@ -73,22 +73,41 @@ class LevelCircuit:
                                  self.verifier_data_targets)
         self.circuit_data = builder.build()
 
-    def prove_chunk(self, proofs: list, inner_verifier_only):
+    def _chunk_witness(self, proofs: list, inner_verifier_only) -> PartialWitness:
         assert len(proofs) == self.branching_factor
         pw = PartialWitness()
         set_verifier_data_target(pw, self.verifier_data_targets,
                                  inner_verifier_only)
         for pt, proof in zip(self.proof_targets, proofs):
             set_proof_with_pis_target(pw, pt, proof)
+        return pw
+
+    def prove_chunk(self, proofs: list, inner_verifier_only):
+        pw = self._chunk_witness(proofs, inner_verifier_only)
         return self.circuit_data.prove(pw)
+
+    def prove_level(self, proofs: list, inner_verifier_only, mesh=None) -> list:
+        """Prove ALL chunks of this level at once: one witness per chunk,
+        then a single batched prove whose device commits run data-parallel
+        over ``mesh`` (replaces the reference's rayon par_chunks thread
+        fan-out, tree.rs:92-103, with chip fan-out)."""
+        from ..plonk.prover import prove_batch
+
+        b = self.branching_factor
+        pws = [
+            self._chunk_witness(proofs[i : i + b], inner_verifier_only)
+            for i in range(0, len(proofs), b)
+        ]
+        return prove_batch(self.circuit_data, pws, mesh=mesh)
 
 
 def aggregate_to_tree(proofs: list, inner_common, inner_verifier_only,
-                      config: TreeAggregationConfig) -> tuple:
+                      config: TreeAggregationConfig, mesh=None) -> tuple:
     """Fold proofs level by level; returns (root_proof, root_circuit_data).
 
     All proofs must come from the same inner circuit.  len(proofs) must be
-    b^d (pad with dummy proofs first — aggregator.py)."""
+    b^d (pad with dummy proofs first — aggregator.py).  With ``mesh``, each
+    level's chunks are proved as one batch sharded across the mesh devices."""
     b = config.branching_factor
     assert len(proofs) == config.num_leaf_proofs
     common = inner_common
@@ -96,12 +115,10 @@ def aggregate_to_tree(proofs: list, inner_common, inner_verifier_only,
     level_data = None
     while len(proofs) > 1:
         level = LevelCircuit(common, b)
-        next_proofs = []
-        for i in range(0, len(proofs), b):
-            next_proofs.append(
-                level.prove_chunk(proofs[i : i + b], verifier_only)
-            )
-        proofs = next_proofs
+        if len(proofs) > b:
+            proofs = level.prove_level(proofs, verifier_only, mesh=mesh)
+        else:
+            proofs = [level.prove_chunk(proofs, verifier_only)]
         level_data = level.circuit_data
         common = level_data.common
         verifier_only = level_data.verifier_only

@@ -108,6 +108,87 @@ class PolynomialBatch:
         return eval_polys_at_ext(self.coeffs, zeta)
 
 
+@lru_cache(maxsize=16)
+def _device_commit_batch_fn(num_polys: int, n: int, rate_bits: int,
+                            cap_height: int):
+    """Batched commit: vmap of the LDE+Merkle pipeline over a leading proof
+    axis.  Every op is batch-parallel, so sharding the batch axis over a
+    device mesh runs each proof's commit on its own chip with zero
+    communication (the TPU analog of the reference aggregator's rayon
+    par_chunks, tree.rs:92-103)."""
+    import jax
+
+    def commit_one(coeffs: gfd.GF):
+        values = nttm.lde(coeffs, rate_bits)
+        rows = gfd.GF(values.lo.T, values.hi.T)
+        levels = merklem.device_merkle_levels(rows, cap_height)
+        return rows, levels
+
+    return jax.jit(jax.vmap(commit_one))
+
+
+def _batch_commit(coeffs_batch: np.ndarray, rate_bits: int, cap_height: int,
+                  blinding: bool, mesh, use_device: bool) -> list:
+    """Shared tail of batch_from_coeffs/batch_from_values: commit a stacked
+    (B, num_polys, n) coefficient batch, batch axis sharded over ``mesh``."""
+    coeffs_batch = np.asarray(coeffs_batch, dtype=np.uint64)
+    B = coeffs_batch.shape[0]
+    if blinding:
+        salts = _deterministic_salt_polys(coeffs_batch.shape[2], 4)
+        coeffs_batch = np.concatenate(
+            [coeffs_batch, np.broadcast_to(salts, (B,) + salts.shape)], axis=1
+        )
+    _, num_polys, n = coeffs_batch.shape
+    if not use_device:
+        return [
+            PolynomialBatch.from_coeffs(coeffs_batch[b], rate_bits,
+                                        cap_height, blinding=False,
+                                        use_device=False)
+            for b in range(B)
+        ]
+    import jax
+
+    fn = _device_commit_batch_fn(num_polys, n, rate_bits, cap_height)
+    dev = gfd.from_u64(coeffs_batch)
+    if mesh is not None and B % mesh.devices.size == 0:
+        from ..parallel.mesh import shard_batch
+
+        dev = jax.device_put(dev, shard_batch(mesh, 3))
+    rows_d, levels_d = fn(dev)
+    rows = gfd.to_u64(rows_d)                       # (B, 8n, num_polys)
+    levels = [gfd.to_u64(lv) for lv in levels_d]    # each (B, m, 4)
+    out = []
+    for b in range(B):
+        tree = merklem.MerkleTree(
+            rows[b], cap_height, [lv[b] for lv in levels]
+        )
+        out.append(PolynomialBatch(coeffs_batch[b], rows[b], tree,
+                                   rate_bits, blinding))
+    return out
+
+
+def batch_from_coeffs(coeffs_batch: np.ndarray, rate_bits: int,
+                      cap_height: int, blinding: bool = False, mesh=None,
+                      use_device: bool = True) -> list:
+    """Commit B polynomial batches (B, num_polys, n) in one device call,
+    batch axis sharded over ``mesh``.  Returns list[PolynomialBatch]."""
+    return _batch_commit(coeffs_batch, rate_bits, cap_height, blinding,
+                         mesh, use_device)
+
+
+def batch_from_values(values_batch: np.ndarray, rate_bits: int,
+                      cap_height: int, blinding: bool = False, mesh=None,
+                      use_device: bool = True) -> list:
+    """Like batch_from_coeffs but from evaluations over H (natural order)."""
+    values_batch = np.asarray(values_batch, dtype=np.uint64)
+    B, num_polys, n = values_batch.shape
+    coeffs = nttm.host_intt(
+        values_batch.reshape(B * num_polys, n)
+    ).reshape(B, num_polys, n)
+    return _batch_commit(coeffs, rate_bits, cap_height, blinding, mesh,
+                         use_device)
+
+
 def eval_polys_at_ext(coeffs: np.ndarray, zeta: np.ndarray) -> np.ndarray:
     """Batch-evaluate base-coeff polys (k, n) at extension zeta -> (k, 2)."""
     k, n = coeffs.shape

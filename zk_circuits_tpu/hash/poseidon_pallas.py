@@ -55,7 +55,9 @@ for _r in range(WIDTH):
     _MDS[_r, _r] += MDS_MATRIX_DIAG[_r]
 _MDS = [[int(v) for v in row] for row in _MDS]
 
-_TILE_ROWS = 512
+# 1024 rows/tile: the swizzled block is (cols, 8, 128) — the (8, 128) minor
+# dims match the TPU vreg tiling exactly (Mosaic requires sublane%8==0).
+_TILE_ROWS = 1024
 _M16 = np.uint32(0xFFFF)
 
 
@@ -128,40 +130,46 @@ def _permute_lanes(los, his, rc_lo_ref, rc_hi_ref):
 
 def _leaf_hash_kernel(cols: int, rc_lo_ref, rc_hi_ref, lo_ref, hi_ref,
                       out_lo_ref, out_hi_ref):
-    # Lane vectors are kept 2-D (tr//128, 128) — Mosaic's layout inference
-    # does not handle rank-1 vectors.
-    tr = lo_ref.shape[0]
-    shape2d = (tr // 128, 128)
+    # Blocks arrive pre-swizzled as (cols, tile//128, 128) so every state
+    # element is a contiguous 2-D (tile//128, 128) slab — Mosaic cannot
+    # lower rank-1 vectors or (N,)<->(N//128,128) shape casts, and strided
+    # column gathers would waste the VPU lanes anyway.
+    shape2d = lo_ref.shape[1:]
     zeros = jnp.zeros(shape2d, jnp.uint32)
     los = [zeros] * WIDTH
     his = [zeros] * WIDTH
     for off in range(0, cols, RATE):
         chunk = min(RATE, cols - off)
         for j in range(chunk):
-            los[j] = lo_ref[:, off + j].reshape(shape2d)
-            his[j] = hi_ref[:, off + j].reshape(shape2d)
+            los[j] = lo_ref[off + j]
+            his[j] = hi_ref[off + j]
         los, his = _permute_lanes(los, his, rc_lo_ref, rc_hi_ref)
     for j in range(4):
-        out_lo_ref[:, j] = los[j].reshape(tr)
-        out_hi_ref[:, j] = his[j].reshape(tr)
+        out_lo_ref[j] = los[j]
+        out_hi_ref[j] = his[j]
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _hash_leaves_tiled(leaves: GF, interpret: bool) -> GF:
     n, cols = leaves.lo.shape
     tile = min(_TILE_ROWS, n)
-    assert n % tile == 0, "row count must divide the tile size"
+    assert n % tile == 0 and tile % 128 == 0, "rows must tile by 128"
+    tr128 = tile // 128
     grid = (n // tile,)
     kernel = functools.partial(_leaf_hash_kernel, cols)
+    # Swizzle (n, cols) -> (cols, n//128, 128): XLA transposes outside the
+    # kernel; inside, loads/stores are whole 2-D slabs.
+    lo_in = leaves.lo.reshape(n // 128, 128, cols).transpose(2, 0, 1)
+    hi_in = leaves.hi.reshape(n // 128, 128, cols).transpose(2, 0, 1)
     out_shape = (
-        jax.ShapeDtypeStruct((n, 4), jnp.uint32),
-        jax.ShapeDtypeStruct((n, 4), jnp.uint32),
+        jax.ShapeDtypeStruct((4, n // 128, 128), jnp.uint32),
+        jax.ShapeDtypeStruct((4, n // 128, 128), jnp.uint32),
     )
-    leaf_spec = pl.BlockSpec((tile, cols), lambda i: (i, 0),
+    leaf_spec = pl.BlockSpec((cols, tr128, 128), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)
     rc_spec = pl.BlockSpec((30, WIDTH), lambda i: (0, 0),
                            memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((tile, 4), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((4, tr128, 128), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
     lo, hi = pl.pallas_call(
         kernel,
@@ -170,8 +178,9 @@ def _hash_leaves_tiled(leaves: GF, interpret: bool) -> GF:
         out_specs=(out_spec, out_spec),
         out_shape=out_shape,
         interpret=interpret,
-    )(jnp.asarray(_RC_LO_NP), jnp.asarray(_RC_HI_NP), leaves.lo, leaves.hi)
-    return GF(lo, hi)
+    )(jnp.asarray(_RC_LO_NP), jnp.asarray(_RC_HI_NP), lo_in, hi_in)
+    return GF(lo.transpose(1, 2, 0).reshape(n, 4),
+              hi.transpose(1, 2, 0).reshape(n, 4))
 
 
 def hash_leaves(leaves: GF, interpret: bool | None = None) -> GF:
@@ -186,4 +195,5 @@ def hash_leaves(leaves: GF, interpret: bool | None = None) -> GF:
 
 
 def available_for(n: int) -> bool:
-    return n % min(_TILE_ROWS, n) == 0 and n >= 8
+    tile = min(_TILE_ROWS, n)
+    return n >= 128 and n % tile == 0 and tile % 128 == 0

@@ -245,10 +245,13 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool = True) -> Proof
 
     def _mark(stage: str):
         nonlocal _t0
+        from ..utils import profiling
+
+        now = _time.perf_counter()
+        profiling._TIMINGS[f"prove/{stage}"].append(now - _t0)
         if _dbg:
-            now = _time.perf_counter()
             print(f"[prove] {stage}: {now - _t0:.2f}s", flush=True)
-            _t0 = now
+        _t0 = now
 
     common = circuit_data.common
     po = circuit_data.prover_only
@@ -314,17 +317,35 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool = True) -> Proof
     )
     ch.observe_cap(quotient_commitment.cap)
     _mark("quotient commit")
-    zeta = ch.get_extension_challenge()
 
-    # 6. openings
-    g_ext = np.array([gl.primitive_root_of_unity(common.degree_bits), 0], dtype=np.uint64)
-    zeta_next = gle.mul(zeta, g_ext)
     oracles = [
         po.constants_sigmas_commitment,
         wires_commitment,
         zsp_commitment,
         quotient_commitment,
     ]
+    openings, opening_proof = _open_and_fri(common, oracles, ch)
+    _mark("openings+fri")
+
+    proof = Proof(
+        wires_cap=wires_commitment.cap.copy(),
+        zs_partial_products_cap=zsp_commitment.cap.copy(),
+        quotient_cap=quotient_commitment.cap.copy(),
+        openings=openings,
+        opening_proof=opening_proof,
+    )
+    return ProofWithPublicInputs(proof, public_inputs)
+
+
+def _open_and_fri(common, oracles, ch: Challenger):
+    """Steps 6-7 of SURVEY.md §3.2: draw zeta, open all oracles at zeta and
+    g*zeta, compose the FRI quotient, and run the FRI opening proof."""
+    cfg = common.config
+    n = common.degree
+    zeta = ch.get_extension_challenge()
+
+    g_ext = np.array([gl.primitive_root_of_unity(common.degree_bits), 0], dtype=np.uint64)
+    zeta_next = gle.mul(zeta, g_ext)
     openings = OpeningSet(
         constants_sigmas=oracles[0].eval_at_ext(zeta),
         wires=oracles[1].eval_at_ext(zeta),
@@ -335,9 +356,8 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool = True) -> Proof
     ch.observe_extension_elements(openings.batch0_flat())
     ch.observe_extension_elements(openings.batch1_flat())
     alpha = ch.get_extension_challenge()
-    _mark("openings")
 
-    # 7. FRI composition: batch 0 at zeta (all polys), batch 1 at g*zeta (Zs)
+    # FRI composition: batch 0 at zeta (all polys), batch 1 at g*zeta (Zs)
     batch0_coeffs = np.concatenate([o.coeffs for o in oracles], axis=0)  # (k, n)
     comp0 = _reduce_with_alpha(batch0_coeffs, alpha)
     q0 = frim.divide_by_linear(comp0, zeta)
@@ -354,16 +374,126 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool = True) -> Proof
     opening_proof = frim.fri_prove(
         oracles, final, common.degree_bits, cfg.fri_config, ch
     )
-    _mark("fri prove")
+    return openings, opening_proof
 
-    proof = Proof(
-        wires_cap=wires_commitment.cap.copy(),
-        zs_partial_products_cap=zsp_commitment.cap.copy(),
-        quotient_cap=quotient_commitment.cap.copy(),
-        openings=openings,
-        opening_proof=opening_proof,
+
+def prove_batch(circuit_data, pws: list, mesh=None,
+                check_witness: bool = True,
+                use_device: bool | None = None) -> list:
+    """Prove ``B`` independent witnesses of the SAME circuit, batching the
+    device hot paths (wire / Z / quotient commits — SURVEY.md §3.2 steps
+    2-6) into single jitted calls with the batch axis sharded over ``mesh``.
+
+    This is the TPU-native replacement for the reference aggregator's rayon
+    ``par_chunks`` fan-out (wormhole/aggregator/src/circuits/tree.rs:92-103):
+    instead of threads each proving one chunk, every chunk's polynomial
+    commitments run as ONE device computation data-parallel across chips.
+    Proof bytes are identical to sequential :func:`prove` (deterministic
+    ``no_random`` mode).
+
+    Returns a list of ProofWithPublicInputs, one per witness.
+    """
+    from ..fri.oracle import batch_from_values, batch_from_coeffs
+
+    common = circuit_data.common
+    po = circuit_data.prover_only
+    cfg = common.config
+    n = common.degree
+    cap_h = cfg.fri_config.cap_height
+    if use_device is None:
+        use_device = common.lde_size >= _DEVICE_QUOTIENT_MIN_LDE
+    B = len(pws)
+    if B == 0:
+        return []
+
+    # 1. witnesses (host, per proof)
+    wits = [generate_witness(circuit_data, pw) for pw in pws]
+    pi_hashes = [
+        hposeidon.hash_no_pad(pis) if len(pis) else np.zeros(4, np.uint64)
+        for _, pis in wits
+    ]
+    if check_witness:
+        for (wires, _), pih in zip(wits, pi_hashes):
+            check_constraints_on_h(common, po, wires, pih)
+
+    # 2. batched wire commit: (B, num_wires, n), batch axis over the mesh
+    wires_values = np.stack([np.ascontiguousarray(w.T) for w, _ in wits])
+    wires_commits = batch_from_values(
+        wires_values, cfg.rate_bits, cap_h,
+        blinding=cfg.zero_knowledge, mesh=mesh, use_device=use_device,
     )
-    return ProofWithPublicInputs(proof, public_inputs)
+
+    # 3. per-proof transcripts -> betas/gammas; Z/partial-product values
+    chs, betas_l, gammas_l = [], [], []
+    for b in range(B):
+        ch = Challenger()
+        ch.observe_hash(circuit_data.verifier_only.circuit_digest)
+        ch.observe_hash(pi_hashes[b])
+        ch.observe_cap(wires_commits[b].cap)
+        betas_l.append(ch.get_n_challenges(cfg.num_challenges))
+        gammas_l.append(ch.get_n_challenges(cfg.num_challenges))
+        chs.append(ch)
+    zsp_values = np.stack([
+        compute_zs_and_partial_products(common, po, wits[b][0],
+                                        betas_l[b], gammas_l[b])
+        for b in range(B)
+    ])
+
+    # 4. batched Z/partial-product commit
+    zsp_commits = batch_from_values(
+        zsp_values, cfg.rate_bits, cap_h,
+        blinding=cfg.zero_knowledge, mesh=mesh, use_device=use_device,
+    )
+    alphas_l = []
+    for b in range(B):
+        chs[b].observe_cap(zsp_commits[b].cap)
+        alphas_l.append(chs[b].get_n_challenges(cfg.num_challenges))
+
+    # 5. quotient on the 8n coset (per proof), then one batched commit
+    x, l1, zh_inv = coset_domain_columns(common)
+    quotient_coeffs = []
+    for b in range(B):
+        vanishing = compute_quotient_values(
+            common,
+            po.constants_sigmas_commitment.leaves,
+            wires_commits[b].leaves,
+            zsp_commits[b].leaves,
+            x, l1, pi_hashes[b].reshape(1, 4),
+            betas_l[b], gammas_l[b], alphas_l[b],
+            use_device,
+        )
+        chunks = []
+        for c in range(cfg.num_challenges):
+            qv = gl.mul(vanishing[c], zh_inv)
+            qc = nttm.host_coset_intt(qv)
+            for t in range(common.quotient_degree_factor):
+                chunks.append(qc[t * n : (t + 1) * n])
+        quotient_coeffs.append(np.stack(chunks))
+    quotient_commits = batch_from_coeffs(
+        np.stack(quotient_coeffs), cfg.rate_bits, cap_h,
+        blinding=cfg.zero_knowledge, mesh=mesh, use_device=use_device,
+    )
+
+    # 6-7. per-proof openings + FRI (host transcript work)
+    out = []
+    for b in range(B):
+        chs[b].observe_cap(quotient_commits[b].cap)
+        oracles = [
+            po.constants_sigmas_commitment,
+            wires_commits[b],
+            zsp_commits[b],
+            quotient_commits[b],
+        ]
+        openings, opening_proof = _open_and_fri(common, oracles, chs[b])
+        proof = Proof(
+            wires_cap=wires_commits[b].cap.copy(),
+            zs_partial_products_cap=zsp_commits[b].cap.copy(),
+            quotient_cap=quotient_commits[b].cap.copy(),
+            openings=openings,
+            opening_proof=opening_proof,
+        )
+        out.append(ProofWithPublicInputs(proof, wits[b][1]))
+    return out
 
 
 def _reduce_with_alpha(coeffs: np.ndarray, alpha: np.ndarray) -> np.ndarray:
