@@ -1,11 +1,16 @@
 """Headline benchmark: prover polynomial-commit throughput on device.
 
-The reference publishes no numbers (BASELINE.md) and its Rust toolchain is
-not present in this image, so the baseline is this repo's host (numpy)
-golden model of the same commit step — a stand-in for the reference's
-CPU-only engine.  Prints one JSON line:
+The reference publishes no benchmark numbers (BASELINE.md) and its Rust
+toolchain is not present in this image, so the baseline is this repo's
+host (numpy + native C++) golden model of the same commit step — a
+stand-in for the reference's CPU-only engine.  Prints one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 where vs_baseline is the speedup of the device path over the host path.
+
+Measurement note: on the axon-tunneled TPU, ``block_until_ready`` returns
+before the computation actually finishes (dispatch-async artifact — this
+inflated round-1 numbers ~300x).  Every timed iteration therefore fetches
+the Merkle cap to host, which cannot complete before the device work does.
 """
 
 import json
@@ -41,17 +46,17 @@ def main():
         return merklem.device_merkle_levels(rows, cap_height)[-1]
 
     coeffs = gfd.from_u64(coeffs_u64)
-    cap = commit_step(coeffs)  # compile + warmup
-    jax.block_until_ready(cap.lo)
+    cap = commit_step(coeffs)                     # compile + warmup
+    _ = jax.device_get(cap.lo)
 
-    iters = 5
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         cap = commit_step(coeffs)
-    jax.block_until_ready(cap.lo)
+        _ = jax.device_get(cap.lo)                # forces real completion
     dev_s = (time.perf_counter() - t0) / iters
 
-    # Host baseline (one iteration; numpy golden model of the same step).
+    # Host baseline (one iteration; numpy + native C++ golden model).
     t0 = time.perf_counter()
     values = nttm.host_lde(coeffs_u64, rate_bits)
     leaves = np.ascontiguousarray(values.T)

@@ -90,3 +90,20 @@ def test_try_from_aggregated_chunks():
     assert len(leaves) == 2
     assert leaves[0].nullifier != leaves[1].nullifier
     assert leaves[0].funding_amount == 0
+
+
+def test_aggregate_on_mesh(square):
+    """Cross-chip aggregation: level-1 chunks proved as ONE mesh-sharded
+    batch (the TPU replacement for tree.rs:92-103's rayon fan-out).
+    Byte-parity of the batched prover vs the sequential one is pinned by
+    tests/test_prove_batch.py; here the aggregation plumbing runs the
+    mesh path end-to-end and the root must carry all leaf PIs and verify."""
+    from zk_circuits_tpu.parallel.mesh import make_mesh
+
+    data, prove = square
+    leaves = [prove(v) for v in (2, 3, 4, 5)]
+    root, root_data = aggregate_to_tree(
+        list(leaves), data.common, data.verifier_only,
+        TreeAggregationConfig(2, 2), mesh=make_mesh(4))
+    assert root.public_inputs.tolist() == [4, 9, 16, 25]
+    root_data.verify(root)

@@ -82,14 +82,29 @@ def eval_ext_poly(coeffs: np.ndarray, x: np.ndarray) -> np.ndarray:
 
 
 def divide_by_linear(coeffs: np.ndarray, z: np.ndarray) -> np.ndarray:
-    """(P(X) - P(z)) / (X - z): synthetic division, drops the remainder."""
+    """(P(X) - P(z)) / (X - z): drops the remainder.
+
+    Vectorized (the textbook synthetic division is an n-step sequential
+    recurrence): q_i = z^-(i+1) * sum_{j>=i+1} c_j z^j, computed as powers
+    of z (log-doubling), a log-step modular suffix sum, and a final
+    elementwise multiply."""
+    from .oracle import ext_powers
+
     n = coeffs.shape[0]
-    q = np.zeros((n - 1, 2), dtype=np.uint64) if n > 1 else np.zeros((0, 2), np.uint64)
-    acc = coeffs[n - 1].copy()
-    for i in range(n - 2, -1, -1):
-        q[i] = acc
-        acc = gle.add(gle.mul(acc, z), coeffs[i])
-    return q
+    if n <= 1:
+        return np.zeros((0, 2), np.uint64)
+    if not np.any(z):  # z == 0: (P(X) - c0)/X
+        return coeffs[1:].copy()
+    zpow = ext_powers(z, n)                     # z^j
+    w = gle.mul(coeffs, zpow)                   # c_j z^j
+    # suffix sums S_i = sum_{j>=i} w_j (log-step doubling)
+    s = w.copy()
+    shift = 1
+    while shift < n:
+        s[:-shift] = gle.add(s[:-shift], s[shift:])
+        shift *= 2
+    zinv_pow = ext_powers(gle.inverse(z), n)    # z^-(i+1) = zinv^(i+1)
+    return gle.mul(s[1:], zinv_pow[1:])
 
 
 # ---------------------------------------------------------------------------
@@ -99,10 +114,15 @@ def divide_by_linear(coeffs: np.ndarray, z: np.ndarray) -> np.ndarray:
 
 def proof_of_work_grind(pow_base: np.ndarray, pow_bits: int) -> int:
     """Min witness w >= 0 with H(pow_base ‖ w)[0] having >= pow_bits leading
-    zeros.  Deterministic (no_random parity); batched Poseidon search."""
+    zeros.  Deterministic (no_random parity); batched Poseidon search on
+    host (native C++ batch hash when available — a 16-bit grind is ~2^16
+    hashes, far below device dispatch+transfer break-even)."""
     threshold = np.uint64(1 << (64 - pow_bits))
-    batch = 4096
-    start = 0
+    return _host_grind(pow_base, threshold, 0)
+
+
+def _host_grind(pow_base: np.ndarray, threshold: np.uint64, start: int) -> int:
+    batch = 1 << 15
     while True:
         ws = np.arange(start, start + batch, dtype=np.uint64)
         inp = np.zeros((batch, 5), dtype=np.uint64)
@@ -134,6 +154,8 @@ def fri_prove(
     challenger: Challenger,
     coset_shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR,
 ) -> FriProof:
+    from ..utils.profiling import stage_timer
+
     n = 1 << degree_bits
     lde_size = n << fri_config.rate_bits
     arities = fri_config.reduction_arities(degree_bits)
@@ -147,34 +169,49 @@ def fri_prove(
     caps: list[np.ndarray] = []
     shift = coset_shift
     size = lde_size
-    for a_bits in arities:
-        arity = 1 << a_bits
-        m = size // arity
-        # leaves: fiber groups, flattened ext values (arity*2 felts).
-        grouped = values.reshape(arity, m, 2)          # [k, group, comp]
-        leaves = np.ascontiguousarray(np.moveaxis(grouped, 0, 1)).reshape(m, arity * 2)
-        tree = merklem.MerkleTree.build(leaves, fri_config.cap_height)
-        trees.append(tree)
-        codewords.append(values)
-        caps.append(tree.cap)
-        challenger.observe_cap(tree.cap)
-        beta = challenger.get_extension_challenge()
-        coeffs = fold_coeffs(coeffs, beta, a_bits)
-        shift = pow(shift, arity, gl.P_INT)
-        size = m
-        values = ext_coset_ntt(coeffs, shift, size)
+    with stage_timer("fri/commit_phase"):
+        for a_bits in arities:
+            arity = 1 << a_bits
+            m = size // arity
+            # leaves: fiber groups, flattened ext values (arity*2 felts).
+            grouped = values.reshape(arity, m, 2)          # [k, group, comp]
+            leaves = np.ascontiguousarray(np.moveaxis(grouped, 0, 1)).reshape(m, arity * 2)
+            tree = merklem.MerkleTree.build(leaves, fri_config.cap_height)
+            trees.append(tree)
+            codewords.append(values)
+            caps.append(tree.cap)
+            challenger.observe_cap(tree.cap)
+            beta = challenger.get_extension_challenge()
+            coeffs = fold_coeffs(coeffs, beta, a_bits)
+            shift = pow(shift, arity, gl.P_INT)
+            size = m
+            values = ext_coset_ntt(coeffs, shift, size)
 
     final_poly = coeffs
     challenger.observe_extension_elements(final_poly)
 
     pow_base = challenger.get_hash()
-    pow_witness = proof_of_work_grind(pow_base, fri_config.proof_of_work_bits)
+    with stage_timer("fri/pow_grind"):
+        pow_witness = proof_of_work_grind(pow_base, fri_config.proof_of_work_bits)
     challenger.observe_element(pow_witness)
 
+    # Draw every query index first (the challenger stream is independent of
+    # row extraction), then gather all touched rows + sibling paths per
+    # oracle in ONE device gather each (oracle.open_rows).
+    indices = [
+        challenger.get_challenge() % lde_size
+        for _ in range(fri_config.num_query_rounds)
+    ]
+    idx_arr = np.array(indices, dtype=np.int64)
+    with stage_timer("fri/query_gather"):
+        opened = [o.open_rows(idx_arr) for o in oracles]  # (rows (Q,w), sibs (Q,L,4))
+
     query_rounds = []
-    for _ in range(fri_config.num_query_rounds):
-        idx = challenger.get_challenge() % lde_size
-        initial = [o.open_row(idx) for o in oracles]
+    for qi, idx in enumerate(indices):
+        initial = [
+            (rows[qi].copy(), [s.copy() for s in sibs[qi]])
+            for rows, sibs in opened
+        ]
         steps = []
         cur = idx
         cur_size = lde_size

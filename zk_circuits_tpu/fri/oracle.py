@@ -2,8 +2,14 @@
 
 The TPU analog of the reference engine's PolynomialBatch (qp-plonky2
 fri/oracle): the LDE and the row hashing are the prover's HBM-bandwidth
-hot path and run on device (JAX NTT + batched Poseidon); the tree levels
-are then pulled to host once for query-path extraction.
+hot path and run on device (JAX NTT + batched Poseidon).
+
+Device residency: the LDE rows and hash levels STAY on device.  Only the
+cap (a few KB) is fetched eagerly — the Fiat-Shamir challenger needs it.
+Query rows and Merkle sibling paths are gathered on device and fetched in
+one small transfer per oracle (28 query rounds touch ~0.02% of the rows;
+shipping the full 8n x num_polys LDE to host costs hundreds of MB over
+the host<->TPU link and dominated prove wall-time before this).
 
 Leaf order is the natural coset order x_i = g * w_{8n}^i (documented
 convention; the reference stores rows bit-reversed).
@@ -11,8 +17,9 @@ convention; the reference stores rows bit-reversed).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import lru_cache
+from typing import Any
 
 import numpy as np
 
@@ -23,15 +30,12 @@ from ..ntt import ntt as nttm
 
 
 @lru_cache(maxsize=32)
-def _device_commit_fn(num_polys: int, n: int, rate_bits: int, cap_height: int,
-                      num_salts: int):
+def _device_commit_fn(num_polys: int, n: int, rate_bits: int, cap_height: int):
     import jax
 
-    def commit(coeffs: gfd.GF, salts: gfd.GF):
+    def commit(coeffs: gfd.GF):
         values = nttm.lde(coeffs, rate_bits)  # (num_polys, 8n)
         rows = gfd.GF(values.lo.T, values.hi.T)  # (8n, num_polys)
-        if num_salts:
-            rows = gfd.concatenate([rows, salts], axis=1)
         levels = merklem.device_merkle_levels(rows, cap_height)
         return rows, levels
 
@@ -40,11 +44,23 @@ def _device_commit_fn(num_polys: int, n: int, rate_bits: int, cap_height: int,
 
 @dataclass
 class PolynomialBatch:
+    """Committed polynomial batch.
+
+    Exactly one residency is populated:
+    - device: ``leaves_dev`` (GF (8n, w)) + ``levels_dev`` (list[GF (m, 4)]),
+      host copies fetched lazily and only for what queries touch;
+    - host:   ``_leaves`` + ``_levels`` numpy arrays.
+    """
+
     coeffs: np.ndarray       # (num_polys, n) u64, coefficient form
-    leaves: np.ndarray       # (8n, num_polys [+ salts]) u64, LDE rows
-    tree: merklem.MerkleTree
     rate_bits: int
     blinding: bool
+    cap_height: int
+    leaves_dev: Any = None   # GF (8n, num_polys [+ salts]) on device
+    levels_dev: Any = None   # list[GF (m, 4)] on device
+    _leaves: np.ndarray | None = field(default=None, repr=False)
+    _levels: list | None = field(default=None, repr=False)
+    _cap: np.ndarray | None = field(default=None, repr=False)
 
     @property
     def num_polys(self) -> int:
@@ -53,6 +69,83 @@ class PolynomialBatch:
     @property
     def degree(self) -> int:
         return self.coeffs.shape[1]
+
+    @property
+    def lde_size(self) -> int:
+        return self.degree << self.rate_bits
+
+    # -- host views (lazy) ---------------------------------------------------
+
+    @property
+    def cap(self) -> np.ndarray:
+        if self._cap is None:
+            self._cap = gfd.to_u64(self.levels_dev[-1])
+        return self._cap
+
+    @property
+    def leaves(self) -> np.ndarray:
+        """Full LDE row matrix on host (large transfer for device batches;
+        prefer open_rows / leaves_for_eval)."""
+        if self._leaves is None:
+            self._leaves = gfd.to_u64(self.leaves_dev)
+        return self._leaves
+
+    @property
+    def levels(self) -> list:
+        if self._levels is None:
+            self._levels = [gfd.to_u64(lv) for lv in self.levels_dev]
+        return self._levels
+
+    @property
+    def tree(self) -> merklem.MerkleTree:
+        """Host MerkleTree view (forces leaf + level fetch on device batches)."""
+        return merklem.MerkleTree(self.leaves, self.cap_height, self.levels)
+
+    def leaves_for_eval(self):
+        """LDE rows in whatever residency avoids a copy: GF on device
+        batches, numpy on host batches (inputs to the quotient kernel)."""
+        return self.leaves_dev if self.leaves_dev is not None else self._leaves
+
+    # -- query access ----------------------------------------------------------
+
+    def open_rows(self, indices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Gather query rows + Merkle sibling paths for all indices at once.
+
+        Returns (rows (Q, w), siblings (Q, L, 4)); on device batches this is
+        two small device gathers + one transfer instead of a full-tree fetch.
+        """
+        indices = np.asarray(indices, dtype=np.int64)
+        if self.leaves_dev is not None:
+            import jax.numpy as jnp
+
+            idx = jnp.asarray(indices)
+            rows = gfd.GF(self.leaves_dev.lo[idx], self.leaves_dev.hi[idx])
+            sib_lo, sib_hi = [], []
+            for lv in self.levels_dev[:-1]:
+                sib_lo.append(lv.lo[idx ^ 1])
+                sib_hi.append(lv.hi[idx ^ 1])
+                idx = idx >> 1
+            if sib_lo:
+                sibs = gfd.GF(jnp.stack(sib_lo, axis=1), jnp.stack(sib_hi, axis=1))
+                return gfd.to_u64(rows), gfd.to_u64(sibs)
+            return gfd.to_u64(rows), np.zeros((len(indices), 0, 4), np.uint64)
+        rows = self._leaves[indices]
+        sibs = np.zeros((len(indices), len(self._levels) - 1, 4), np.uint64)
+        idx = indices.copy()
+        for li, lv in enumerate(self._levels[:-1]):
+            sibs[:, li] = lv[idx ^ 1]
+            idx >>= 1
+        return rows, sibs
+
+    def open_row(self, index: int) -> tuple[np.ndarray, list[np.ndarray]]:
+        rows, sibs = self.open_rows(np.array([index]))
+        return rows[0].copy(), [s.copy() for s in sibs[0]]
+
+    def eval_at_ext(self, zeta: np.ndarray) -> np.ndarray:
+        """Evaluate every polynomial at an extension point: (num_polys, 2)."""
+        return eval_polys_at_ext(self.coeffs, zeta)
+
+    # -- constructors ----------------------------------------------------------
 
     @staticmethod
     def from_coeffs(
@@ -71,16 +164,16 @@ class PolynomialBatch:
             coeffs = np.concatenate([coeffs, salts], axis=0)
         num_polys, n = coeffs.shape
         if use_device:
-            fn = _device_commit_fn(num_polys, n, rate_bits, cap_height, 0)
-            rows_d, levels_d = fn(gfd.from_u64(coeffs), gfd.from_u64(np.zeros((0, 0), np.uint64)))
-            leaves = gfd.to_u64(rows_d)
-            levels = [gfd.to_u64(lv) for lv in levels_d]
-            tree = merklem.MerkleTree(leaves, cap_height, levels)
-        else:
-            values = nttm.host_lde(coeffs, rate_bits)
-            leaves = np.ascontiguousarray(values.T)
-            tree = merklem.MerkleTree.build(leaves, cap_height)
-        return PolynomialBatch(coeffs, leaves, tree, rate_bits, blinding)
+            fn = _device_commit_fn(num_polys, n, rate_bits, cap_height)
+            rows_d, levels_d = fn(gfd.from_u64(coeffs))
+            return PolynomialBatch(coeffs, rate_bits, blinding, cap_height,
+                                   leaves_dev=rows_d, levels_dev=levels_d)
+        values = nttm.host_lde(coeffs, rate_bits)
+        leaves = np.ascontiguousarray(values.T)
+        tree = merklem.MerkleTree.build(leaves, cap_height)
+        return PolynomialBatch(coeffs, rate_bits, blinding, cap_height,
+                               _leaves=leaves, _levels=tree.levels,
+                               _cap=tree.cap)
 
     @staticmethod
     def from_values(
@@ -95,17 +188,6 @@ class PolynomialBatch:
         return PolynomialBatch.from_coeffs(
             coeffs, rate_bits, cap_height, blinding, use_device
         )
-
-    @property
-    def cap(self) -> np.ndarray:
-        return self.tree.cap
-
-    def open_row(self, index: int) -> tuple[np.ndarray, list[np.ndarray]]:
-        return self.leaves[index].copy(), self.tree.prove(index)
-
-    def eval_at_ext(self, zeta: np.ndarray) -> np.ndarray:
-        """Evaluate every polynomial at an extension point: (num_polys, 2)."""
-        return eval_polys_at_ext(self.coeffs, zeta)
 
 
 @lru_cache(maxsize=16)
@@ -155,15 +237,13 @@ def _batch_commit(coeffs_batch: np.ndarray, rate_bits: int, cap_height: int,
 
         dev = jax.device_put(dev, shard_batch(mesh, 3))
     rows_d, levels_d = fn(dev)
-    rows = gfd.to_u64(rows_d)                       # (B, 8n, num_polys)
-    levels = [gfd.to_u64(lv) for lv in levels_d]    # each (B, m, 4)
     out = []
     for b in range(B):
-        tree = merklem.MerkleTree(
-            rows[b], cap_height, [lv[b] for lv in levels]
-        )
-        out.append(PolynomialBatch(coeffs_batch[b], rows[b], tree,
-                                   rate_bits, blinding))
+        rows_b = gfd.GF(rows_d.lo[b], rows_d.hi[b])
+        levels_b = [gfd.GF(lv.lo[b], lv.hi[b]) for lv in levels_d]
+        out.append(PolynomialBatch(coeffs_batch[b], rate_bits, blinding,
+                                   cap_height, leaves_dev=rows_b,
+                                   levels_dev=levels_b))
     return out
 
 
@@ -199,22 +279,36 @@ def eval_polys_at_ext(coeffs: np.ndarray, zeta: np.ndarray) -> np.ndarray:
 
 
 def ext_powers(zeta: np.ndarray, n: int) -> np.ndarray:
-    """[1, zeta, ..., zeta^(n-1)] in GF(p^2): (n, 2)."""
-    out = np.empty((n, 2), dtype=np.uint64)
-    acc = gle.ONE.copy()
-    for i in range(n):
-        out[i] = acc
-        acc = gle.mul(acc, zeta)
+    """[1, zeta, ..., zeta^(n-1)] in GF(p^2): (n, 2).
+
+    Log-doubling: after k entries are filled, the next k are
+    out[:k] * zeta^k — log2(n) vectorized extension multiplies instead of
+    an n-step Python loop."""
+    out = np.zeros((n, 2), dtype=np.uint64)
+    out[0] = gle.ONE
+    if n == 1:
+        return out
+    k = 1
+    zk = np.asarray(zeta, dtype=np.uint64).reshape(1, 2)  # zeta^(2^s * ...) = zeta^k
+    while k < n:
+        m = min(k, n - k)
+        out[k : k + m] = gle.mul(out[:m], np.broadcast_to(zk, (m, 2)))
+        zk = gle.mul(zk, zk)
+        k *= 2
     return out
 
 
+@lru_cache(maxsize=8)
 def _deterministic_salt_polys(n: int, num_salts: int) -> np.ndarray:
     """Deterministic blinding salt polynomials, counter-mode Poseidon
     coefficients (the reference's `no_random` feature removes proving
-    randomness; salts keep the commitment *shape* of the zk config)."""
+    randomness; salts keep the commitment *shape* of the zk config).
+    Cached — every commit of the same degree shares the same salts."""
     from ..host import poseidon as hposeidon
 
     seed = np.zeros((num_salts * n, 8), dtype=np.uint64)
     seed[:, 0] = 0x5A17  # salt domain tag
     seed[:, 1] = np.arange(num_salts * n, dtype=np.uint64)
-    return hposeidon.batch_hash_no_pad(seed)[:, 0].reshape(num_salts, n)
+    out = hposeidon.batch_hash_no_pad(seed)[:, 0].reshape(num_salts, n)
+    out.setflags(write=False)
+    return out

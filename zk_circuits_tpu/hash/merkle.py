@@ -80,13 +80,43 @@ def verify_merkle_proof(
 
 def device_merkle_levels(leaves: gfd.GF, cap_height: int) -> list[gfd.GF]:
     """Device tree builder: batched Poseidon over rows; returns all levels
-    (leaf digests first, cap last) as GF arrays.  jit-able."""
+    (leaf digests first, cap last) as GF arrays.  jit-able.
+
+    On TPU the leaf hash and the wide compress levels run in the fused
+    Pallas sponge kernel (hash/poseidon_pallas.py — state resident in VMEM
+    for the whole permutation); narrow levels and the CPU backend use the
+    XLA lax.scan path (bit-identical, tests/test_poseidon.py)."""
+    import jax
+
     from .poseidon import batch_compress, batch_hash_or_noop
 
     n = leaves.shape[0]
     assert n & (n - 1) == 0 and n >= (1 << cap_height)
-    levels = [batch_hash_or_noop(leaves)]
+    use_pallas = jax.default_backend() == "tpu"
+
+    if use_pallas and leaves.shape[1] > 4:
+        from . import poseidon_pallas as pp
+
+        if pp.available_for(n):
+            levels = [pp.hash_leaves(leaves, interpret=False)]
+        else:
+            levels = [batch_hash_or_noop(leaves)]
+    else:
+        levels = [batch_hash_or_noop(leaves)]
     while levels[-1].shape[0] > (1 << cap_height):
         cur = levels[-1]
+        m = cur.shape[0] // 2
+        if use_pallas:
+            from . import poseidon_pallas as pp
+
+            if pp.available_for(m):
+                # compress(l, r) == hash_no_pad(l ‖ r): one permutation of
+                # [l0..3, r0..3, 0...] squeezing 4 — same sponge the leaf
+                # kernel runs for an 8-felt row.
+                pair_lo = cur.lo.reshape(m, 8)
+                pair_hi = cur.hi.reshape(m, 8)
+                levels.append(pp.hash_leaves(gfd.GF(pair_lo, pair_hi),
+                                             interpret=False))
+                continue
         levels.append(batch_compress(cur[0::2], cur[1::2]))
     return levels

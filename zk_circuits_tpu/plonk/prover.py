@@ -31,6 +31,17 @@ from .vanishing import VanishingVars, check_constraints_on_h, eval_vanishing
 _DEVICE_QUOTIENT_MIN_LDE = 1 << 14
 
 
+def _default_use_device(common) -> bool:
+    """Device path only on a real accelerator.  On the CPU backend the
+    "device" path is XLA emulating u64 field ops on u32 limb pairs — far
+    slower than the native C++ host golden model, and the virtual-device
+    test meshes force it explicitly where sharding must be exercised."""
+    import jax
+
+    return (jax.default_backend() == "tpu"
+            and common.lde_size >= _DEVICE_QUOTIENT_MIN_LDE)
+
+
 def _prefix_prod_exclusive(ratios: np.ndarray) -> np.ndarray:
     """Exclusive modular prefix product along the last axis (Z[0] = 1)."""
     a = ratios.copy()
@@ -152,31 +163,18 @@ def compute_quotient_values(common, cs_lde, wires_lde, zsp_lde, x, l1, pi_hash,
                             betas, gammas, alphas, use_device: bool):
     cfg = common.config
     if use_device:
-        import os as _os
-        import time as _time
-
         from ..field import goldilocks as gfd
+
+        def _dev(a):
+            return a if isinstance(a, gfd.GF) else gfd.from_u64(a)
 
         key = (id(common), common.degree_bits)
         _device_quotient_fn._common[key] = common
         fn = _device_quotient_fn(key)
-        if _os.environ.get("ZKT_TIMING"):
-            _t = _time.perf_counter()
-            lowered = fn.lower(
-                gfd.from_u64(cs_lde), gfd.from_u64(wires_lde), gfd.from_u64(zsp_lde),
-                gfd.from_u64(x), gfd.from_u64(l1), gfd.from_u64(pi_hash),
-                gfd.from_u64(np.array(betas, dtype=np.uint64).reshape(-1, 1)),
-                gfd.from_u64(np.array(gammas, dtype=np.uint64).reshape(-1, 1)),
-                gfd.from_u64(np.array(alphas, dtype=np.uint64).reshape(-1, 1)),
-            )
-            print(f"[quotient] lower: {_time.perf_counter() - _t:.2f}s", flush=True)
-            _t = _time.perf_counter()
-            lowered.compile()
-            print(f"[quotient] compile: {_time.perf_counter() - _t:.2f}s", flush=True)
         out = fn(
-            gfd.from_u64(cs_lde),
-            gfd.from_u64(wires_lde),
-            gfd.from_u64(zsp_lde),
+            _dev(cs_lde),
+            _dev(wires_lde),
+            _dev(zsp_lde),
             gfd.from_u64(x),
             gfd.from_u64(l1),
             gfd.from_u64(pi_hash),
@@ -185,6 +183,12 @@ def compute_quotient_values(common, cs_lde, wires_lde, zsp_lde, x, l1, pi_hash,
             gfd.from_u64(np.array(alphas, dtype=np.uint64).reshape(-1, 1)),
         )
         return [gfd.to_u64(v) for v in out]
+    from ..field import goldilocks as gfd
+
+    def _np(a):
+        return gfd.to_u64(a) if isinstance(a, gfd.GF) else a
+
+    cs_lde, wires_lde, zsp_lde = _np(cs_lde), _np(wires_lde), _np(zsp_lde)
     alg = algebra.HOST_BASE
     s = common.num_selectors
     c = cfg.num_constants
@@ -258,7 +262,7 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool = True) -> Proof
     cfg = common.config
     n = common.degree
     cap_h = cfg.fri_config.cap_height
-    use_device = common.lde_size >= _DEVICE_QUOTIENT_MIN_LDE
+    use_device = _default_use_device(common)
 
     # 1. witness
     wires, public_inputs = generate_witness(circuit_data, pw)
@@ -297,9 +301,9 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool = True) -> Proof
     _mark("coset domain")
     vanishing = compute_quotient_values(
         common,
-        po.constants_sigmas_commitment.leaves,
-        wires_commitment.leaves,
-        zsp_commitment.leaves,
+        po.constants_sigmas_commitment.leaves_for_eval(),
+        wires_commitment.leaves_for_eval(),
+        zsp_commitment.leaves_for_eval(),
         x, l1, pi_hash.reshape(1, 4),
         betas, gammas, alphas,
         use_device,
@@ -340,36 +344,40 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool = True) -> Proof
 def _open_and_fri(common, oracles, ch: Challenger):
     """Steps 6-7 of SURVEY.md §3.2: draw zeta, open all oracles at zeta and
     g*zeta, compose the FRI quotient, and run the FRI opening proof."""
+    from ..utils.profiling import stage_timer
+
     cfg = common.config
     n = common.degree
     zeta = ch.get_extension_challenge()
 
     g_ext = np.array([gl.primitive_root_of_unity(common.degree_bits), 0], dtype=np.uint64)
     zeta_next = gle.mul(zeta, g_ext)
-    openings = OpeningSet(
-        constants_sigmas=oracles[0].eval_at_ext(zeta),
-        wires=oracles[1].eval_at_ext(zeta),
-        zs_partial_products=oracles[2].eval_at_ext(zeta),
-        quotient=oracles[3].eval_at_ext(zeta),
-        zs_next=eval_polys_at_ext(oracles[2].coeffs[: cfg.num_challenges], zeta_next),
-    )
+    with stage_timer("fri/openings_eval"):
+        openings = OpeningSet(
+            constants_sigmas=oracles[0].eval_at_ext(zeta),
+            wires=oracles[1].eval_at_ext(zeta),
+            zs_partial_products=oracles[2].eval_at_ext(zeta),
+            quotient=oracles[3].eval_at_ext(zeta),
+            zs_next=eval_polys_at_ext(oracles[2].coeffs[: cfg.num_challenges], zeta_next),
+        )
     ch.observe_extension_elements(openings.batch0_flat())
     ch.observe_extension_elements(openings.batch1_flat())
     alpha = ch.get_extension_challenge()
 
     # FRI composition: batch 0 at zeta (all polys), batch 1 at g*zeta (Zs)
-    batch0_coeffs = np.concatenate([o.coeffs for o in oracles], axis=0)  # (k, n)
-    comp0 = _reduce_with_alpha(batch0_coeffs, alpha)
-    q0 = frim.divide_by_linear(comp0, zeta)
-    comp1 = _reduce_with_alpha(oracles[2].coeffs[: cfg.num_challenges], alpha)
-    q1 = frim.divide_by_linear(comp1, zeta_next)
-    shift_pow = gle.powmod(alpha, cfg.num_challenges)
-    final = np.zeros((n, 2), dtype=np.uint64)
-    m0 = q0.shape[0]
-    final[:m0] = gle.add(
-        np.pad(q1, ((0, m0 - q1.shape[0]), (0, 0))),
-        gle.mul(np.broadcast_to(shift_pow, (m0, 2)), q0),
-    )
+    with stage_timer("fri/compose"):
+        batch0_coeffs = np.concatenate([o.coeffs for o in oracles], axis=0)  # (k, n)
+        comp0 = _reduce_with_alpha(batch0_coeffs, alpha)
+        q0 = frim.divide_by_linear(comp0, zeta)
+        comp1 = _reduce_with_alpha(oracles[2].coeffs[: cfg.num_challenges], alpha)
+        q1 = frim.divide_by_linear(comp1, zeta_next)
+        shift_pow = gle.powmod(alpha, cfg.num_challenges)
+        final = np.zeros((n, 2), dtype=np.uint64)
+        m0 = q0.shape[0]
+        final[:m0] = gle.add(
+            np.pad(q1, ((0, m0 - q1.shape[0]), (0, 0))),
+            gle.mul(np.broadcast_to(shift_pow, (m0, 2)), q0),
+        )
 
     opening_proof = frim.fri_prove(
         oracles, final, common.degree_bits, cfg.fri_config, ch
@@ -401,7 +409,7 @@ def prove_batch(circuit_data, pws: list, mesh=None,
     n = common.degree
     cap_h = cfg.fri_config.cap_height
     if use_device is None:
-        use_device = common.lde_size >= _DEVICE_QUOTIENT_MIN_LDE
+        use_device = _default_use_device(common)
     B = len(pws)
     if B == 0:
         return []
@@ -455,9 +463,9 @@ def prove_batch(circuit_data, pws: list, mesh=None,
     for b in range(B):
         vanishing = compute_quotient_values(
             common,
-            po.constants_sigmas_commitment.leaves,
-            wires_commits[b].leaves,
-            zsp_commits[b].leaves,
+            po.constants_sigmas_commitment.leaves_for_eval(),
+            wires_commits[b].leaves_for_eval(),
+            zsp_commits[b].leaves_for_eval(),
             x, l1, pi_hashes[b].reshape(1, 4),
             betas_l[b], gammas_l[b], alphas_l[b],
             use_device,
