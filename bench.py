@@ -7,10 +7,12 @@ stand-in for the reference's CPU-only engine.  Prints one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 where vs_baseline is the speedup of the device path over the host path.
 
-Measurement note: on the axon-tunneled TPU, ``block_until_ready`` returns
-before the computation actually finishes (dispatch-async artifact — this
-inflated round-1 numbers ~300x).  Every timed iteration therefore fetches
-the Merkle cap to host, which cannot complete before the device work does.
+Measurement note: on the axon-tunneled TPU, ``block_until_ready`` (and in
+round 1 even ``device_get`` of the result) can return before the device
+work actually completes, inflating throughput.  The timed region is now a
+single jitted ``lax.fori_loop`` whose iteration i+1 consumes iteration i's
+Merkle cap (folded back into the coefficients), so the device MUST execute
+all iterations serially before the final cap fetch can produce data.
 """
 
 import json
@@ -21,6 +23,7 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     # XLA compiles dominate on this small-core host; persist them so the
     # driver's repeated bench runs skip straight to execution.
@@ -36,25 +39,41 @@ def main():
     # Wormhole-scale wire commit: 135 wire polynomials, degree 2^13,
     # rate 8x LDE, cap_height 4 (SURVEY.md §0, §3.2).
     num_polys, n, rate_bits, cap_height = 135, 1 << 13, 3, 4
+    iters = 10
     rng = np.random.default_rng(0)
     coeffs_u64 = rng.integers(0, gl.P_INT, size=(num_polys, n), dtype=np.uint64)
 
-    @jax.jit
-    def commit_step(coeffs):
+    def commit_step(coeffs: gfd.GF) -> gfd.GF:
         values = nttm.lde(coeffs, rate_bits)
         rows = gfd.GF(values.lo.T, values.hi.T)
         return merklem.device_merkle_levels(rows, cap_height)[-1]
 
+    def chain(coeffs: gfd.GF, cap: gfd.GF) -> gfd.GF:
+        """Fold the 2^cap_height x 4 cap into the first coefficient row so
+        the next iteration data-depends on this one's full commit."""
+        mix = gfd.add(coeffs[0, : 4 << cap_height], cap.reshape(-1))
+        return gfd.GF(
+            coeffs.lo.at[0, : 4 << cap_height].set(mix.lo),
+            coeffs.hi.at[0, : 4 << cap_height].set(mix.hi),
+        )
+
+    @jax.jit
+    def bench_loop(coeffs: gfd.GF) -> gfd.GF:
+        def body(_, carry):
+            cap = commit_step(carry)
+            return chain(carry, cap)
+
+        final = jax.lax.fori_loop(0, iters, body, coeffs)
+        return commit_step(final)
+
     coeffs = gfd.from_u64(coeffs_u64)
-    cap = commit_step(coeffs)                     # compile + warmup
+    cap = bench_loop(coeffs)                      # compile + warmup
     _ = jax.device_get(cap.lo)
 
-    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        cap = commit_step(coeffs)
-        _ = jax.device_get(cap.lo)                # forces real completion
-    dev_s = (time.perf_counter() - t0) / iters
+    cap = bench_loop(coeffs)
+    _ = jax.device_get(cap.lo)                    # forces real completion
+    dev_s = (time.perf_counter() - t0) / (iters + 1)
 
     # Host baseline (one iteration; numpy + native C++ golden model).
     t0 = time.perf_counter()

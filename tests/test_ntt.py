@@ -114,3 +114,25 @@ def test_sharded_lde_matches_host():
     db = jax.device_put(gfd.from_u64(batch), meshm.shard_batch(mesh, 2))
     got = gfd.to_u64(sntt.lde_batch_sharded(db, rate, mesh))
     np.testing.assert_array_equal(got, nttm.host_lde(batch, rate))
+
+
+def test_sharded_intt_matches_host():
+    """Regression: the inverse four-step must use the inverse-root local row
+    transform (forward row NTT + local index reversal) — caught producing
+    forward-twiddle garbage in round 2."""
+    import jax
+
+    from zk_circuits_tpu.parallel import mesh as meshm
+    from zk_circuits_tpu.parallel import ntt_sharded as sntt
+
+    mesh = meshm.make_mesh()
+    n = 1024
+    values = RNG.integers(0, gl.P_INT, size=n, dtype=np.uint64)
+    d = jax.device_put(gfd.from_u64(values), meshm.shard_last(mesh, 1))
+    got = gfd.to_u64(sntt.intt_sharded(d, mesh))
+    np.testing.assert_array_equal(got, nttm.host_intt(values))
+    # round trip through the sharded forward transform
+    d2 = jax.device_put(gfd.from_u64(nttm.host_ntt(values)),
+                        meshm.shard_last(mesh, 1))
+    back = gfd.to_u64(sntt.intt_sharded(d2, mesh))
+    np.testing.assert_array_equal(back, values)

@@ -169,14 +169,21 @@ def _device_powers(base: int, n: int) -> GF:
     return GF(jnp.asarray(lo), jnp.asarray(hi))
 
 
-def ntt(coeffs: GF) -> GF:
-    """Device NTT along the last axis; stages unrolled at trace time."""
+def ntt(coeffs: GF, constrain=None) -> GF:
+    """Device NTT along the last axis; stages unrolled at trace time.
+
+    ``constrain`` (optional, fn GF->GF) is applied after the bit-reversal
+    and after every butterfly stage — sharded callers pass a
+    with_sharding_constraint pin so GSPMD keeps the batch axis sharded
+    instead of rematerializing intermediates (parallel/ntt_sharded.py)."""
     n = coeffs.shape[-1]
     if n == 1:
         return coeffs
     assert n & (n - 1) == 0
     rev = _device_bit_reverse(n)
     x = GF(jnp.take(coeffs.lo, rev, axis=-1), jnp.take(coeffs.hi, rev, axis=-1))
+    if constrain is not None:
+        x = constrain(x)
     for s, tw in enumerate(_device_stage_twiddles(n)):
         half = 1 << s
         shape = x.shape[:-1] + (n // (2 * half), 2, half)
@@ -189,6 +196,8 @@ def ntt(coeffs: GF) -> GF:
         lo = jnp.stack([apb.lo, amb.lo], axis=-2)
         hi = jnp.stack([apb.hi, amb.hi], axis=-2)
         x = GF(lo.reshape(lo.shape[:-3] + (n,)), hi.reshape(hi.shape[:-3] + (n,)))
+        if constrain is not None:
+            x = constrain(x)
     return x
 
 
@@ -209,8 +218,9 @@ def _mul_powers(x: GF, base: int) -> GF:
     return gfd.mul(x, GF(jnp.broadcast_to(pw.lo, x.shape), jnp.broadcast_to(pw.hi, x.shape)))
 
 
-def coset_ntt(coeffs: GF, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR) -> GF:
-    return ntt(_mul_powers(coeffs, shift))
+def coset_ntt(coeffs: GF, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR,
+              constrain=None) -> GF:
+    return ntt(_mul_powers(coeffs, shift), constrain=constrain)
 
 
 def coset_intt(values: GF, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR) -> GF:
@@ -219,8 +229,9 @@ def coset_intt(values: GF, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR) -> GF
     return _mul_powers(coeffs, inv_shift)
 
 
-def lde(coeffs: GF, rate_bits: int, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR) -> GF:
+def lde(coeffs: GF, rate_bits: int, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR,
+        constrain=None) -> GF:
     n = coeffs.shape[-1]
     pad = [(0, 0)] * (len(coeffs.shape) - 1) + [(0, n * ((1 << rate_bits) - 1))]
     padded = GF(jnp.pad(coeffs.lo, pad), jnp.pad(coeffs.hi, pad))
-    return coset_ntt(padded, shift)
+    return coset_ntt(padded, shift, constrain=constrain)

@@ -69,6 +69,12 @@ def _constrain(a: GF, mesh: Mesh, spec: P) -> GF:
 
 
 def _ntt_four_step(x: GF, mesh: Mesh, axis: str, inverse: bool) -> GF:
+    """Transpose-form four-step: every cross-device move is a plain
+    all-to-all row<->column transpose of a P(axis, None)-sharded matrix, and
+    the size-E DFT runs on a fully LOCAL axis.  (An earlier variant computed
+    the E-point DFT by slicing ROWS of the row-sharded matrix, which forced
+    GSPMD into involuntary full rematerialization — gather + replicate — per
+    MULTICHIP_r01.json.)"""
     n = x.shape[-1]
     n_dev = mesh.shape[axis]
     m = n // n_dev
@@ -76,21 +82,35 @@ def _ntt_four_step(x: GF, mesh: Mesh, axis: str, inverse: bool) -> GF:
     tw = _twiddle_matrix(n, n_dev, inverse)
 
     a = _constrain(x.reshape(n_dev, m), mesh, P(axis, None))
-    # Cross-device size-E DFT down the rows (GSPMD turns the row mixing
-    # into an all-gather of the E row blocks).
-    rows = []
+    # Transpose to (m, E): the E axis becomes device-local (all-to-all).
+    at = _constrain(GF(a.lo.T, a.hi.T), mesh, P(axis, None))
+    # Local size-E DFT along the last axis: y_t[s0, t1] = Σ_s1 at[s0,s1]·W[s1,t1].
+    cols = []
     for t1 in range(n_dev):
-        acc = gfd.mul_const(a[0], int(w_mat[0, t1]))
+        acc = gfd.mul_const(at[:, 0], int(w_mat[0, t1]))
         for s1 in range(1, n_dev):
-            acc = gfd.add(acc, gfd.mul_const(a[s1], int(w_mat[s1, t1])))
-        rows.append(acc)
-    y = _constrain(gfd.stack(rows, axis=0), mesh, P(axis, None))
-    # Local twiddle + local row NTT.
+            acc = gfd.add(acc, gfd.mul_const(at[:, s1], int(w_mat[s1, t1])))
+        cols.append(acc)
+    y_t = _constrain(gfd.stack(cols, axis=1), mesh, P(axis, None))  # (m, E)
+    # Transpose back to (E, m) rows (all-to-all), twiddle, local row NTT.
+    y = _constrain(GF(y_t.lo.T, y_t.hi.T), mesh, P(axis, None))
     twd = gfd.from_u64(tw)
     z = gfd.mul(y, GF(jnp.broadcast_to(twd.lo, y.shape),
                       jnp.broadcast_to(twd.hi, y.shape)))
-    big = ntt_mod.ntt(z)  # (E, m) row-wise
-    # Global transpose: X[t1 + E*t2] = Z[t1, t2] (all-to-all under GSPMD).
+
+    def _pin_rows(a: GF) -> GF:
+        # Keep the leading (row) axis sharded through every butterfly stage.
+        return _constrain(a, mesh, P(axis, *([None] * (len(a.shape) - 1))))
+
+    big = ntt_mod.ntt(z, constrain=_pin_rows)  # (E, m) row-wise
+    if inverse:
+        # Step 3 needs the INVERSE-root length-m row transform; the forward
+        # NTT gives it after a local index reversal:
+        # NTT_{w^-1}(x)[k] = NTT_w(x)[-k mod m].
+        ridx = jnp.concatenate([jnp.arange(1), jnp.arange(m - 1, 0, -1)])
+        big = GF(jnp.take(big.lo, ridx, axis=-1), jnp.take(big.hi, ridx, axis=-1))
+        big = _pin_rows(big)
+    # Global transpose: X[t1 + E·t2] = Z[t1, t2] (all-to-all under GSPMD).
     out = GF(big.lo.T, big.hi.T).reshape(n)
     return _constrain(out, mesh, P(axis))
 
@@ -152,7 +172,11 @@ def coset_lde_sharded(
 def _lde_batch_body(coeffs: GF, rate_bits: int, mesh: Mesh, axis: str,
                     shift: int) -> GF:
     c = _constrain(coeffs, mesh, P(axis, None))
-    out = ntt_mod.lde(c, rate_bits, shift)
+
+    def _pin(a: GF) -> GF:
+        return _constrain(a, mesh, P(axis, *([None] * (len(a.shape) - 1))))
+
+    out = ntt_mod.lde(c, rate_bits, shift, constrain=_pin)
     return _constrain(out, mesh, P(axis, None))
 
 
