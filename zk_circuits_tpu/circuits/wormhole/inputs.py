@@ -88,6 +88,64 @@ class PublicCircuitInputs:
 
 
 @dataclass
+class TransferProofJson:
+    """Live-node transfer-proof JSON schema (common/src/circuit.rs:14-20):
+    the output of the quantus-api-client ``sample_proof`` example, consumed
+    by the online e2e flow (tests/src/circuit/circuit_data_tests.rs:46-70,
+    253-299)."""
+
+    transfer_count: int        # u64
+    state_root: str            # hex, no 0x prefix
+    storage_proof: list[str]   # hex-encoded trie nodes
+    indices: list[int]         # per-node byte index of the committed child hash
+
+    @staticmethod
+    def from_json(text: str) -> "TransferProofJson":
+        """Parse from a JSON document; like the reference's fallback parser,
+        accepts surrounding log noise by extracting the last JSON object."""
+        import json
+
+        try:
+            obj = json.loads(text)
+        except json.JSONDecodeError:
+            obj = _extract_last_json(text)
+        return TransferProofJson(
+            transfer_count=int(obj["transfer_count"]),
+            state_root=str(obj["state_root"]),
+            storage_proof=[str(s) for s in obj["storage_proof"]],
+            indices=[int(i) for i in obj["indices"]],
+        )
+
+    def state_root_bytes(self) -> bytes:
+        root = bytes.fromhex(self.state_root.removeprefix("0x"))
+        if len(root) != 32:
+            raise ValueError("state_root must be 32 bytes")
+        return root
+
+    def to_processed_storage_proof(self) -> ProcessedStorageProof:
+        nodes = [bytes.fromhex(s.removeprefix("0x")) for s in self.storage_proof]
+        return ProcessedStorageProof(nodes, list(self.indices))
+
+
+def _extract_last_json(text: str) -> dict:
+    """Last parseable JSON object in a mixed stdout stream (mirrors the
+    reference's extract_last_json, circuit_data_tests.rs:25-44)."""
+    import json
+
+    last = None
+    for start in (i for i, c in enumerate(text) if c == "{"):
+        try:
+            obj, _ = json.JSONDecoder().raw_decode(text[start:])
+        except json.JSONDecodeError:
+            continue
+        if isinstance(obj, dict):
+            last = obj
+    if last is None:
+        raise ValueError("no valid JSON object found in stream")
+    return last
+
+
+@dataclass
 class PrivateCircuitInputs:
     secret: bytes                       # 32 bytes
     storage_proof: ProcessedStorageProof

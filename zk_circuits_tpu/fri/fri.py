@@ -114,11 +114,72 @@ def divide_by_linear(coeffs: np.ndarray, z: np.ndarray) -> np.ndarray:
 
 def proof_of_work_grind(pow_base: np.ndarray, pow_bits: int) -> int:
     """Min witness w >= 0 with H(pow_base ‖ w)[0] having >= pow_bits leading
-    zeros.  Deterministic (no_random parity); batched Poseidon search on
-    host (native C++ batch hash when available — a 16-bit grind is ~2^16
-    hashes, far below device dispatch+transfer break-even)."""
+    zeros.  Deterministic (no_random parity).  On a real accelerator the
+    search runs as ONE jitted vectorized Poseidon sweep per 2^17 candidates
+    (a 16-bit grind expects ~2^16 trials — a single device dispatch); on
+    CPU backends the native C++ batch hash scans on host."""
     threshold = np.uint64(1 << (64 - pow_bits))
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return _device_grind(pow_base, threshold)
     return _host_grind(pow_base, threshold, 0)
+
+
+_DEVICE_GRIND_BATCH = 1 << 17
+
+
+def _device_grind_fn():
+    import jax
+    import jax.numpy as jnp
+
+    from ..field import goldilocks as gfd
+    from ..hash import poseidon as dposeidon
+
+    if _device_grind_fn._cache is None:
+        batch = _DEVICE_GRIND_BATCH
+
+        def run(base: gfd.GF, start_lo, thr_lo, thr_hi):
+            ws_lo = start_lo + jnp.arange(batch, dtype=jnp.uint32)
+            inp = gfd.GF(
+                jnp.concatenate(
+                    [jnp.broadcast_to(base.lo, (batch, 4)), ws_lo[:, None]], axis=1
+                ),
+                jnp.concatenate(
+                    [jnp.broadcast_to(base.hi, (batch, 4)),
+                     jnp.zeros((batch, 1), jnp.uint32)], axis=1
+                ),
+            )
+            h = dposeidon.batch_hash_no_pad(inp)
+            lo, hi = h.lo[:, 0], h.hi[:, 0]
+            ok = (hi < thr_hi) | ((hi == thr_hi) & (lo < thr_lo))
+            idx = jnp.argmax(ok)  # first True (ties: lowest index = min witness)
+            return ok[idx], idx
+
+        _device_grind_fn._cache = jax.jit(run)
+    return _device_grind_fn._cache
+
+
+_device_grind_fn._cache = None
+
+
+def _device_grind(pow_base: np.ndarray, threshold: np.uint64) -> int:
+    import jax.numpy as jnp
+
+    from ..field import goldilocks as gfd
+
+    fn = _device_grind_fn()
+    base = gfd.from_u64(np.asarray(pow_base, dtype=np.uint64))
+    thr_lo = jnp.uint32(int(threshold) & 0xFFFFFFFF)
+    thr_hi = jnp.uint32(int(threshold) >> 32)
+    start = 0
+    while True:
+        found, idx = fn(base, jnp.uint32(start), thr_lo, thr_hi)
+        if bool(found):
+            return start + int(idx)
+        start += _DEVICE_GRIND_BATCH
+        if start >= 1 << 31:  # unreachable for sane pow_bits; keep terminating
+            return _host_grind(pow_base, threshold, start)
 
 
 def _host_grind(pow_base: np.ndarray, threshold: np.uint64, start: int) -> int:

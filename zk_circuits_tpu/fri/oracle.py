@@ -137,6 +137,9 @@ class PolynomialBatch:
             idx >>= 1
         return rows, sibs
 
+    def _dev_tree(self):
+        return (self.leaves_dev, tuple(self.levels_dev))
+
     def open_row(self, index: int) -> tuple[np.ndarray, list[np.ndarray]]:
         rows, sibs = self.open_rows(np.array([index]))
         return rows[0].copy(), [s.copy() for s in sibs[0]]

@@ -68,7 +68,26 @@ def _reduce128(x_lo: np.ndarray, x_hi: np.ndarray) -> np.ndarray:
     return np.where(t2 >= P, t2 - P, t2)
 
 
+# numpy's u64 limb emulation costs ~15 vector ops per element; the native
+# C++ __int128 path is one mul+reduce.  Dispatch there for large arrays.
+_NATIVE_MUL_MIN = 1 << 13
+
+
 def mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    size = max(np.size(a), np.size(b))
+    if size >= _NATIVE_MUL_MIN:
+        from .. import native
+
+        if native.available():
+            shape = np.broadcast_shapes(np.shape(a), np.shape(b))
+            return native.gl_mul(
+                np.broadcast_to(np.asarray(a, np.uint64), shape),
+                np.broadcast_to(np.asarray(b, np.uint64), shape),
+            )
+    return _mul_np(a, b)
+
+
+def _mul_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     a0 = a & MASK32
     a1 = a >> _U32
     b0 = b & MASK32
@@ -160,13 +179,22 @@ def sum_mod(a: np.ndarray, axis: int = -1) -> np.ndarray:
 
 
 def powers(base: int, n: int) -> np.ndarray:
-    """[1, base, base^2, ..., base^(n-1)] as canonical u64."""
-    out = np.empty(n, dtype=np.uint64)
-    acc = 1
+    """[1, base, base^2, ..., base^(n-1)] as canonical u64.
+
+    Log-doubling: after k entries are filled, the next k are
+    out[:k] * base^k — log2(n) vectorized multiplies, not an n-step loop."""
     b = int(base) % P_INT
-    for i in range(n):
-        out[i] = acc
-        acc = (acc * b) % P_INT
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    out[0] = 1
+    k = 1
+    bk = b  # base^k
+    while k < n:
+        m = min(k, n - k)
+        out[k : k + m] = mul(out[:m], np.uint64(bk))
+        bk = (bk * bk) % P_INT
+        k *= 2
     return out
 
 

@@ -79,6 +79,29 @@ def _c64(a) -> np.ndarray:
     return np.ascontiguousarray(a, dtype=np.uint64)
 
 
+def gl_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise Goldilocks product of two equal-shape arrays."""
+    x = _c64(a)
+    y = _c64(b)
+    out = np.empty(x.shape, dtype=np.uint64)
+    _lib.zkn_gl_mul(_ptr(x), _ptr(y), _ptr(out), x.size)
+    return out
+
+
+def gl_add(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = _c64(a)
+    y = _c64(b)
+    out = np.empty(x.shape, dtype=np.uint64)
+    _lib.zkn_gl_add(_ptr(x), _ptr(y), _ptr(out), x.size)
+    return out
+
+
+def gl_powers(base: int, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint64)
+    _lib.zkn_gl_powers(ctypes.c_uint64(base % (2**64)), _ptr(out), n)
+    return out
+
+
 def poseidon_permute(states: np.ndarray) -> np.ndarray:
     """(n, 12) -> (n, 12) permuted (copy)."""
     s = _c64(states).copy()
