@@ -1,93 +1,119 @@
-"""Headline benchmark: prover polynomial-commit throughput on device.
+"""Headline benchmark: end-to-end wormhole proving throughput per chip.
 
-The reference publishes no benchmark numbers (BASELINE.md) and its Rust
-toolchain is not present in this image, so the baseline is this repo's
-host (numpy + native C++) golden model of the same commit step — a
-stand-in for the reference's CPU-only engine.  Prints one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-where vs_baseline is the speedup of the device path over the host path.
+This is the BASELINE.json metric ("wormhole proofs/sec per chip").  The
+reference publishes no numbers and its Rust toolchain is absent from this
+image (BASELINE.md), so vs_baseline compares the TPU device pipeline
+against this repo's host golden engine (numpy + native C++) proving the
+SAME circuit on this machine — the stand-in for the reference's CPU-only
+engine.
 
-Measurement note: on the axon-tunneled TPU, ``block_until_ready`` (and in
-round 1 even ``device_get`` of the result) can return before the device
-work actually completes, inflating throughput.  The timed region is now a
-single jitted ``lax.fori_loop`` whose iteration i+1 consumes iteration i's
-Merkle cap (folded back into the coefficients), so the device MUST execute
-all iterations serially before the final cap fetch can produce data.
+Prints ONE JSON line:
+  {"metric": "wormhole_prove_warm", "value": N, "unit": "proofs/s/chip",
+   "vs_baseline": M}
+where value is warm in-process throughput of the device prove (a resident
+prover service is the production deployment model; cold-start costs are
+XLA/Mosaic compiles, reported separately in the stage dump) and M is the
+speedup over the host-engine prove.
+
+The built circuit is cached under .bench_cache/ via the three-artifact
+flow (api/artifacts.py) so repeated driver runs skip the Python builder.
 """
 
 import json
+import os
+import sys
 import time
+from pathlib import Path
 
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CACHE_DIR = Path(__file__).resolve().parent / ".bench_cache"
+WARM_ITERS = 5
+
+
+def _build_or_load():
+    from zk_circuits_tpu.api import artifacts
+    from zk_circuits_tpu.plonk.config import CircuitConfig
+
+    common_p = CACHE_DIR / "common.bin"
+    prover_p = CACHE_DIR / "prover.bin"
+    if common_p.exists() and prover_p.exists():
+        try:
+            return artifacts.load_prover(prover_p, common_p), 0.0
+        except Exception:
+            pass  # stale format — rebuild
+    t0 = time.time()
+    data = artifacts.generate_circuit_binaries(
+        CACHE_DIR, include_prover=True,
+        config=CircuitConfig.standard_recursion_zk_config(),
+    )
+    build_s = time.time() - t0
+    return artifacts.load_prover(prover_p, common_p), build_s
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
+    import jax  # noqa: F401  (zk_circuits_tpu import configures the compile cache)
 
-    # XLA compiles dominate on this small-core host; persist them so the
-    # driver's repeated bench runs skip straight to execution.
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    from zk_circuits_tpu.circuits.wormhole.golden_fixtures import test_inputs
+    from zk_circuits_tpu.plonk.prover import _default_use_device
+    from zk_circuits_tpu.utils import profiling
 
-    from zk_circuits_tpu.field import goldilocks as gfd
-    from zk_circuits_tpu.hash import merkle as merklem
-    from zk_circuits_tpu.host import gl
-    from zk_circuits_tpu.ntt import ntt as nttm
+    prover_tpl, build_s = _build_or_load()
+    cd, targets = prover_tpl.circuit_data, prover_tpl.targets
 
-    # Wormhole-scale wire commit: 135 wire polynomials, degree 2^13,
-    # rate 8x LDE, cap_height 4 (SURVEY.md §0, §3.2).
-    num_polys, n, rate_bits, cap_height = 135, 1 << 13, 3, 4
-    iters = 10
-    rng = np.random.default_rng(0)
-    coeffs_u64 = rng.integers(0, gl.P_INT, size=(num_polys, n), dtype=np.uint64)
+    from zk_circuits_tpu.api.prover import WormholeProver
+    from zk_circuits_tpu.api.verifier import WormholeVerifier
 
-    def commit_step(coeffs: gfd.GF) -> gfd.GF:
-        values = nttm.lde(coeffs, rate_bits)
-        rows = gfd.GF(values.lo.T, values.hi.T)
-        return merklem.device_merkle_levels(rows, cap_height)[-1]
+    def one_prove(use_device=None):
+        p = WormholeProver(circuit_data=cd, targets=targets)
+        return p.commit(test_inputs()).prove(use_device=use_device)
 
-    def chain(coeffs: gfd.GF, cap: gfd.GF) -> gfd.GF:
-        """Fold the 2^cap_height x 4 cap into the first coefficient row so
-        the next iteration data-depends on this one's full commit."""
-        mix = gfd.add(coeffs[0, : 4 << cap_height], cap.reshape(-1))
-        return gfd.GF(
-            coeffs.lo.at[0, : 4 << cap_height].set(mix.lo),
-            coeffs.hi.at[0, : 4 << cap_height].set(mix.hi),
-        )
+    device_path = _default_use_device(cd.common)
 
-    @jax.jit
-    def bench_loop(coeffs: gfd.GF) -> gfd.GF:
-        def body(_, carry):
-            cap = commit_step(carry)
-            return chain(carry, cap)
+    # cold prove (compiles + remote program loads)
+    t0 = time.time()
+    proof = one_prove()
+    cold_s = time.time() - t0
 
-        final = jax.lax.fori_loop(0, iters, body, coeffs)
-        return commit_step(final)
+    # warm proves — the headline (resident-prover throughput)
+    times = []
+    for _ in range(WARM_ITERS):
+        t0 = time.time()
+        proof = one_prove()
+        times.append(time.time() - t0)
+    warm_s = sum(times) / len(times)
 
-    coeffs = gfd.from_u64(coeffs_u64)
-    cap = bench_loop(coeffs)                      # compile + warmup
-    _ = jax.device_get(cap.lo)
+    # host-engine baseline stand-in (one prove, native C++ path)
+    t0 = time.time()
+    host_proof = one_prove(use_device=False)
+    host_s = time.time() - t0
 
-    t0 = time.perf_counter()
-    cap = bench_loop(coeffs)
-    _ = jax.device_get(cap.lo)                    # forces real completion
-    dev_s = (time.perf_counter() - t0) / (iters + 1)
+    WormholeVerifier.from_parts(cd.common, cd.verifier_only).verify(proof)
+    from zk_circuits_tpu.utils.serialization import proof_to_bytes
+    assert proof_to_bytes(host_proof) == proof_to_bytes(proof), \
+        "device/host proof bytes diverged"
 
-    # Host baseline (one iteration; numpy + native C++ golden model).
-    t0 = time.perf_counter()
-    values = nttm.host_lde(coeffs_u64, rate_bits)
-    leaves = np.ascontiguousarray(values.T)
-    merklem.MerkleTree.build(leaves, cap_height)
-    host_s = time.perf_counter() - t0
+    stages = {
+        "build_s": round(build_s, 2),
+        "cold_prove_s": round(cold_s, 2),
+        "warm_prove_s": round(warm_s, 3),
+        "warm_prove_each_s": [round(t, 3) for t in times],
+        "host_engine_prove_s": round(host_s, 2),
+        "device_path": device_path,
+        "stage_means_s": {
+            k: round(sum(v) / len(v), 4)
+            for k, v in profiling.get_timings().items()
+        },
+    }
+    (Path(__file__).resolve().parent / "BENCH_STAGES.json").write_text(
+        json.dumps(stages, indent=2, sort_keys=True)
+    )
 
-    elems = num_polys * (n << rate_bits)  # LDE output field elements
     print(json.dumps({
-        "metric": "commit_lde_merkle_135x8192_throughput",
-        "value": round(elems / dev_s / 1e6, 3),
-        "unit": "Mfelt/s",
-        "vs_baseline": round(host_s / dev_s, 3),
+        "metric": "wormhole_prove_warm",
+        "value": round(1.0 / warm_s, 3),
+        "unit": "proofs/s/chip",
+        "vs_baseline": round(host_s / warm_s, 2),
     }))
 
 

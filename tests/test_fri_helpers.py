@@ -78,3 +78,44 @@ def test_divide_by_linear_is_exact_division():
     pz = eval_ext_poly(coeffs, z)
     prod[0] = gle.add(prod[0], pz)
     np.testing.assert_array_equal(prod, coeffs)
+
+
+def test_device_grind_matches_host_grind():
+    """Forced small-batch parity: the opt-in device PoW sweep must find the
+    same minimal witness as the native host grind (ADVICE r2)."""
+    import numpy as np
+
+    from zk_circuits_tpu.fri import fri as frim
+    from zk_circuits_tpu.host import poseidon as hposeidon
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, frim.gl.P_INT, 4, dtype=np.uint64)
+    pow_bits = 8  # small grind so both paths stay fast on CPU
+    threshold = np.uint64(1 << (64 - pow_bits))
+    host_w = frim._host_grind(base, threshold, 0)
+    dev_w = frim._device_grind(base, threshold)
+    assert host_w == dev_w
+    assert int(hposeidon.hash_no_pad(
+        np.concatenate([base, np.array([host_w], np.uint64)])
+    )[0]) < int(threshold)
+
+
+def test_extract_last_json_skips_log_noise():
+    """Typed extraction: trailing JSON log lines after the proof object must
+    not shadow it (ADVICE r2; reference circuit_data_tests.rs:28-44)."""
+    import pytest as _pytest
+
+    from zk_circuits_tpu.circuits.wormhole.inputs import TransferProofJson
+
+    proof = ('{"transfer_count": 4, "state_root": "ab" , '
+             '"storage_proof": ["00ff"], "indices": [8]}')
+    noise_after = '\n{"level": "info", "msg": "done"}\n'
+    tp = TransferProofJson.from_json("boot log\n" + proof + noise_after)
+    assert tp.transfer_count == 4
+    assert tp.storage_proof == ["00ff"]
+    # nested dicts inside the proof must not shadow it either
+    proof2 = ('{"transfer_count": 9, "state_root": "cd", "storage_proof": [], '
+              '"indices": [], "meta": {"nested": 1}}')
+    assert TransferProofJson.from_json(proof2 + "\n" + noise_after).transfer_count == 9
+    with _pytest.raises(ValueError):
+        TransferProofJson.from_json('{"level": "info"} not a proof')

@@ -70,7 +70,10 @@ def test_storage_proof_byte_flip_always_fails(wormhole_prover_data):
     for _ in range(FUZZ_ITERS):
         prover = WormholeProver(circuit_data=circuit_data, targets=targets)
         with pytest.raises((ValueError, WitnessConflict, VerificationError)):
-            prover.commit(_tampered_inputs(rng)).prove()
+            # check_witness=True: tampered nodes that pass witness fill must
+            # still trip the on-H constraint re-check (prove-time checking is
+            # opt-in since r3; the default prove defers failure to verify()).
+            prover.commit(_tampered_inputs(rng)).prove(check_witness=True)
 
 
 def test_proof_byte_mutations_never_verify():

@@ -91,3 +91,44 @@ def test_coset_lde_matches_golden():
         native.coset_lde(c, 3, gl.MULTIPLICATIVE_GROUP_GENERATOR),
         nttm.host_lde(c, 3),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dispatch-layer parity: gl.mul/add/powers route large arrays to native;
+# pin that both routes agree (incl. non-canonical u64 inputs + broadcasting).
+# ---------------------------------------------------------------------------
+
+
+def _full_range_u64(*shape):
+    return RNG.integers(0, 2**64, shape, dtype=np.uint64)
+
+
+@pytest.mark.parametrize("n", [100, gl._NATIVE_MUL_MIN, 4 * gl._NATIVE_MUL_MIN])
+def test_mul_dispatch_parity(n):
+    a, b = _full_range_u64(n), _full_range_u64(n)
+    np.testing.assert_array_equal(gl.mul(a, b), gl._mul_np(a, b))
+
+
+def test_mul_dispatch_broadcast_shapes():
+    a = _full_range_u64(256, 64)
+    b = _full_range_u64(64)          # broadcast along axis 0
+    np.testing.assert_array_equal(gl.mul(a, b), gl._mul_np(a, b))
+    s = np.uint64(RNG.integers(0, 2**64, dtype=np.uint64))  # scalar x array
+    np.testing.assert_array_equal(gl.mul(s, a), gl._mul_np(s, a))
+
+
+@pytest.mark.parametrize("n", [100, 4 * gl._NATIVE_MUL_MIN])
+def test_add_dispatch_parity(n):
+    a, b = _full_range_u64(n), _full_range_u64(n)
+    np.testing.assert_array_equal(gl.add(a, b), gl._add_np(a, b))
+
+
+@pytest.mark.parametrize("n", [1, 100, gl._NATIVE_MUL_MIN, 3 * gl._NATIVE_MUL_MIN])
+def test_powers_matches_sequential_recurrence(n):
+    base = int(RNG.integers(1, gl.P_INT, dtype=np.uint64))
+    got = gl.powers(base, n)
+    acc, expect = 1, np.empty(n, dtype=np.uint64)
+    for i in range(n):
+        expect[i] = acc
+        acc = (acc * base) % gl.P_INT
+    np.testing.assert_array_equal(got, expect)

@@ -51,7 +51,10 @@ class WormholeProver:
         self._committed = True
         return self
 
-    def prove(self):
+    def prove(self, check_witness: bool | None = None,
+              use_device: bool | None = None):
         if not self._committed:
             raise RuntimeError("commit inputs before proving")
-        return self.circuit_data.prove(self.partial_witness)
+        return self.circuit_data.prove(self.partial_witness,
+                                       check_witness=check_witness,
+                                       use_device=use_device)

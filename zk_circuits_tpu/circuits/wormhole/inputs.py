@@ -127,9 +127,17 @@ class TransferProofJson:
         return ProcessedStorageProof(nodes, list(self.indices))
 
 
+_TRANSFER_PROOF_KEYS = frozenset(
+    ("transfer_count", "state_root", "storage_proof", "indices")
+)
+
+
 def _extract_last_json(text: str) -> dict:
-    """Last parseable JSON object in a mixed stdout stream (mirrors the
-    reference's extract_last_json, circuit_data_tests.rs:25-44)."""
+    """Last JSON object in a mixed stdout stream that deserializes as a
+    TransferProofJson (mirrors the reference's typed extract_last_json,
+    circuit_data_tests.rs:28-44: candidates that don't parse as the proof
+    schema — e.g. trailing JSON-formatted log lines or nested objects —
+    are skipped, not returned)."""
     import json
 
     last = None
@@ -138,10 +146,10 @@ def _extract_last_json(text: str) -> dict:
             obj, _ = json.JSONDecoder().raw_decode(text[start:])
         except json.JSONDecodeError:
             continue
-        if isinstance(obj, dict):
+        if isinstance(obj, dict) and _TRANSFER_PROOF_KEYS <= obj.keys():
             last = obj
     if last is None:
-        raise ValueError("no valid JSON object found in stream")
+        raise ValueError("no transfer-proof JSON object found in stream")
     return last
 
 

@@ -274,3 +274,24 @@ def stack(parts: list, axis: int = 0) -> GF:
         jnp.stack([p.lo for p in parts], axis=axis),
         jnp.stack([p.hi for p in parts], axis=axis),
     )
+
+
+def sum_mod(a: GF, axis: int = -1) -> GF:
+    """Modular sum along an axis via pairwise folding (log2(n) add passes;
+    device analog of host.gl.sum_mod)."""
+    lo = jnp.moveaxis(a.lo, axis, -1)
+    hi = jnp.moveaxis(a.hi, axis, -1)
+    x = GF(lo, hi)
+    while x.lo.shape[-1] > 1:
+        n = x.lo.shape[-1]
+        if n % 2 == 1:
+            extra = GF(x.lo[..., -1], x.hi[..., -1])
+            x = GF(x.lo[..., :-1], x.hi[..., :-1])
+        else:
+            extra = None
+        x = add(GF(x.lo[..., 0::2], x.hi[..., 0::2]),
+                GF(x.lo[..., 1::2], x.hi[..., 1::2]))
+        if extra is not None:
+            x = GF(jnp.concatenate([x.lo, extra.lo[..., None]], axis=-1),
+                   jnp.concatenate([x.hi, extra.hi[..., None]], axis=-1))
+    return GF(x.lo[..., 0], x.hi[..., 0])

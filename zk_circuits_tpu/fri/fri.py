@@ -114,14 +114,17 @@ def divide_by_linear(coeffs: np.ndarray, z: np.ndarray) -> np.ndarray:
 
 def proof_of_work_grind(pow_base: np.ndarray, pow_bits: int) -> int:
     """Min witness w >= 0 with H(pow_base ‖ w)[0] having >= pow_bits leading
-    zeros.  Deterministic (no_random parity).  On a real accelerator the
-    search runs as ONE jitted vectorized Poseidon sweep per 2^17 candidates
-    (a 16-bit grind expects ~2^16 trials — a single device dispatch); on
-    CPU backends the native C++ batch hash scans on host."""
-    threshold = np.uint64(1 << (64 - pow_bits))
-    import jax
+    zeros.  Deterministic (no_random parity).
 
-    if jax.default_backend() == "tpu":
+    Default: native C++ host scan — a 16-bit grind (~2^16 Poseidon hashes)
+    is milliseconds on host and far below device-dispatch break-even on
+    this image's tunneled accelerator.  ``ZKT_DEVICE_GRIND=1`` opts into
+    the jitted 2^17-wide device sweep (one dispatch per batch) for
+    configurations with much higher pow_bits where the device wins."""
+    import os
+
+    threshold = np.uint64(1 << (64 - pow_bits))
+    if os.environ.get("ZKT_DEVICE_GRIND"):
         return _device_grind(pow_base, threshold)
     return _host_grind(pow_base, threshold, 0)
 

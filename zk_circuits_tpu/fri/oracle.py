@@ -52,23 +52,29 @@ class PolynomialBatch:
     - host:   ``_leaves`` + ``_levels`` numpy arrays.
     """
 
-    coeffs: np.ndarray       # (num_polys, n) u64, coefficient form
+    coeffs: np.ndarray | None  # (num_polys, n) u64, coefficient form (host);
+    # None for fused device batches (quotient) whose coeffs never leave HBM
     rate_bits: int
     blinding: bool
     cap_height: int
     leaves_dev: Any = None   # GF (8n, num_polys [+ salts]) on device
     levels_dev: Any = None   # list[GF (m, 4)] on device
+    coeffs_dev: Any = None   # GF (num_polys, n) on device (device batches)
     _leaves: np.ndarray | None = field(default=None, repr=False)
     _levels: list | None = field(default=None, repr=False)
     _cap: np.ndarray | None = field(default=None, repr=False)
 
     @property
     def num_polys(self) -> int:
-        return self.coeffs.shape[0]
+        if self.coeffs is not None:
+            return self.coeffs.shape[0]
+        return self.coeffs_dev.lo.shape[0]
 
     @property
     def degree(self) -> int:
-        return self.coeffs.shape[1]
+        if self.coeffs is not None:
+            return self.coeffs.shape[1]
+        return self.coeffs_dev.lo.shape[1]
 
     @property
     def lde_size(self) -> int:
@@ -79,7 +85,10 @@ class PolynomialBatch:
     @property
     def cap(self) -> np.ndarray:
         if self._cap is None:
-            self._cap = gfd.to_u64(self.levels_dev[-1])
+            from ..utils.profiling import stage_timer
+
+            with stage_timer("oracle/cap_fetch"):
+                self._cap = gfd.to_u64(self.levels_dev[-1])
         return self._cap
 
     @property
@@ -137,8 +146,21 @@ class PolynomialBatch:
             idx >>= 1
         return rows, sibs
 
-    def _dev_tree(self):
-        return (self.leaves_dev, tuple(self.levels_dev))
+    def ensure_device(self) -> "PolynomialBatch":
+        """Promote a host-resident batch to device residency (LDE + Merkle
+        recomputed on device) — used when prover artifacts were built on the
+        CPU path but prove runs the device pipeline.  No-op if already
+        device-resident (just materializes coeffs_dev)."""
+        if self.leaves_dev is not None:
+            if self.coeffs_dev is None:
+                self.coeffs_dev = gfd.from_u64(self.coeffs)
+            return self
+        fn = _device_commit_fn(self.coeffs.shape[0], self.coeffs.shape[1],
+                               self.rate_bits, self.cap_height)
+        dev = gfd.from_u64(self.coeffs)
+        rows_d, levels_d = fn(dev)
+        self.leaves_dev, self.levels_dev, self.coeffs_dev = rows_d, levels_d, dev
+        return self
 
     def open_row(self, index: int) -> tuple[np.ndarray, list[np.ndarray]]:
         rows, sibs = self.open_rows(np.array([index]))
@@ -167,10 +189,18 @@ class PolynomialBatch:
             coeffs = np.concatenate([coeffs, salts], axis=0)
         num_polys, n = coeffs.shape
         if use_device:
+            from ..utils.profiling import stage_timer
+
             fn = _device_commit_fn(num_polys, n, rate_bits, cap_height)
-            rows_d, levels_d = fn(gfd.from_u64(coeffs))
+            with stage_timer(f"oracle/h2d({num_polys}x{n})"):
+                dev = gfd.from_u64(coeffs)
+                dev = gfd.GF(dev.lo.block_until_ready(), dev.hi)
+            with stage_timer(f"oracle/commit_dispatch({num_polys}x{n})"):
+                rows_d, levels_d = fn(dev)
+                levels_d[-1].lo.block_until_ready()
             return PolynomialBatch(coeffs, rate_bits, blinding, cap_height,
-                                   leaves_dev=rows_d, levels_dev=levels_d)
+                                   leaves_dev=rows_d, levels_dev=levels_d,
+                                   coeffs_dev=dev)
         values = nttm.host_lde(coeffs, rate_bits)
         leaves = np.ascontiguousarray(values.T)
         tree = merklem.MerkleTree.build(leaves, cap_height)
@@ -187,7 +217,10 @@ class PolynomialBatch:
         use_device: bool = True,
     ) -> "PolynomialBatch":
         """values: (num_polys, n) evaluations over H (natural order)."""
-        coeffs = nttm.host_intt(np.asarray(values, dtype=np.uint64))
+        from ..utils.profiling import stage_timer
+
+        with stage_timer("oracle/host_intt"):
+            coeffs = nttm.host_intt(np.asarray(values, dtype=np.uint64))
         return PolynomialBatch.from_coeffs(
             coeffs, rate_bits, cap_height, blinding, use_device
         )

@@ -82,10 +82,17 @@ def device_merkle_levels(leaves: gfd.GF, cap_height: int) -> list[gfd.GF]:
     """Device tree builder: batched Poseidon over rows; returns all levels
     (leaf digests first, cap last) as GF arrays.  jit-able.
 
-    On TPU the leaf hash and the wide compress levels run in the fused
-    Pallas sponge kernel (hash/poseidon_pallas.py — state resident in VMEM
-    for the whole permutation); narrow levels and the CPU backend use the
-    XLA lax.scan path (bit-identical, tests/test_poseidon.py)."""
+    On TPU the LEAF hash — ~95% of the permutations (a w-column leaf costs
+    ceil(w/8) sponge absorptions per row vs one permutation per internal
+    node, and internal nodes total only n) — runs in the fused Pallas
+    sponge kernel (hash/poseidon_pallas.py, state resident in VMEM).  The
+    compress levels use the XLA lax.scan path (bit-identical,
+    tests/test_poseidon.py).  Rationale for the split: on this image the
+    Mosaic kernel binary is compiled remotely at first execution and is
+    NOT captured by the persistent XLA compile cache, so every distinct
+    Pallas shape costs seconds per process; one Pallas kernel per leaf
+    width (instead of one per tree level) cuts a cold prove's Mosaic
+    compiles ~12x while giving up ~5% of the hash work to XLA."""
     import jax
 
     from .poseidon import batch_compress, batch_hash_or_noop
@@ -105,18 +112,5 @@ def device_merkle_levels(leaves: gfd.GF, cap_height: int) -> list[gfd.GF]:
         levels = [batch_hash_or_noop(leaves)]
     while levels[-1].shape[0] > (1 << cap_height):
         cur = levels[-1]
-        m = cur.shape[0] // 2
-        if use_pallas:
-            from . import poseidon_pallas as pp
-
-            if pp.available_for(m):
-                # compress(l, r) == hash_no_pad(l ‖ r): one permutation of
-                # [l0..3, r0..3, 0...] squeezing 4 — same sponge the leaf
-                # kernel runs for an 8-felt row.
-                pair_lo = cur.lo.reshape(m, 8)
-                pair_hi = cur.hi.reshape(m, 8)
-                levels.append(pp.hash_leaves(gfd.GF(pair_lo, pair_hi),
-                                             interpret=False))
-                continue
         levels.append(batch_compress(cur[0::2], cur[1::2]))
     return levels

@@ -37,6 +37,19 @@ def asfelt(x) -> np.ndarray:
 
 
 def add(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if max(np.size(a), np.size(b)) >= _NATIVE_MUL_MIN:
+        from .. import native
+
+        if native.available():
+            shape = np.broadcast_shapes(np.shape(a), np.shape(b))
+            return native.gl_add(
+                np.broadcast_to(np.asarray(a, np.uint64), shape),
+                np.broadcast_to(np.asarray(b, np.uint64), shape),
+            )
+    return _add_np(a, b)
+
+
+def _add_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     s = a + b  # wraps mod 2^64
     over = s < a
     # true sum >= 2^64  =>  subtract p (== add epsilon mod 2^64)
@@ -187,6 +200,11 @@ def powers(base: int, n: int) -> np.ndarray:
     out = np.empty(n, dtype=np.uint64)
     if n == 0:
         return out
+    if n >= _NATIVE_MUL_MIN:
+        from .. import native
+
+        if native.available():
+            return native.gl_powers(b, n)
     out[0] = 1
     k = 1
     bk = b  # base^k

@@ -126,10 +126,12 @@ class CircuitData:
     prover_only: ProverOnlyCircuitData
     verifier_only: VerifierOnlyCircuitData
 
-    def prove(self, pw):
+    def prove(self, pw, check_witness: bool | None = None,
+              use_device: bool | None = None):
         from .prover import prove
 
-        return prove(self, pw)
+        return prove(self, pw, check_witness=check_witness,
+                     use_device=use_device)
 
     def verify(self, proof):
         from .verifier import verify

@@ -35,9 +35,14 @@ def _default_use_device(common) -> bool:
     """Device path only on a real accelerator.  On the CPU backend the
     "device" path is XLA emulating u64 field ops on u32 limb pairs — far
     slower than the native C++ host golden model, and the virtual-device
-    test meshes force it explicitly where sharding must be exercised."""
+    test meshes force it explicitly where sharding must be exercised.
+    ``ZKT_FORCE_DEVICE=1`` overrides both gates (testing / profiling)."""
+    import os
+
     import jax
 
+    if os.environ.get("ZKT_FORCE_DEVICE"):
+        return True
     return (jax.default_backend() == "tpu"
             and common.lde_size >= _DEVICE_QUOTIENT_MIN_LDE)
 
@@ -112,6 +117,46 @@ def compute_zs_and_partial_products(common, prover_only, wires: np.ndarray,
     return values
 
 
+def _device_vanishing_eval(common, cs_lde, wires_lde, zsp_lde, x, l1,
+                           pi_hash, betas, gammas, alphas):
+    """Trace-time body: vanishing-polynomial evaluation over the 8n coset
+    on device GF arrays (shared by the standalone and the fused-commit
+    quotient programs)."""
+    import jax.numpy as jnp
+
+    from ..field.goldilocks import GF
+
+    alg = algebra.DEVICE_BASE
+    cfg = common.config
+    s = common.num_selectors
+    c = cfg.num_constants
+    num_pp = common.num_partial_products
+
+    def roll_rows(a, k):
+        return GF(jnp.roll(a.lo, -k, axis=0), jnp.roll(a.hi, -k, axis=0))
+
+    zsp_next = roll_rows(zsp_lde, 1 << cfg.rate_bits)
+    vv = VanishingVars(
+        x=x,
+        wires=wires_lde,
+        selectors=cs_lde[:, :s],
+        constants=cs_lde[:, s : s + c],
+        sigmas=cs_lde[:, s + c :],
+        zs=[zsp_lde[:, i] for i in range(cfg.num_challenges)],
+        zs_next=[zsp_next[:, i] for i in range(cfg.num_challenges)],
+        partial_products=[
+            zsp_lde[:, cfg.num_challenges + ch * num_pp : cfg.num_challenges + (ch + 1) * num_pp]
+            for ch in range(cfg.num_challenges)
+        ],
+        l1=l1,
+        pi_hash=pi_hash,
+        betas=[betas[i] for i in range(cfg.num_challenges)],
+        gammas=[gammas[i] for i in range(cfg.num_challenges)],
+        alphas=[alphas[i] for i in range(cfg.num_challenges)],
+    )
+    return eval_vanishing(alg, common, vv)
+
+
 @lru_cache(maxsize=8)
 def _device_quotient_fn(key):
     """jit-compiled coset vanishing evaluation; key = static circuit identity."""
@@ -120,43 +165,59 @@ def _device_quotient_fn(key):
     common = _device_quotient_fn._common[key]
 
     def run(cs_lde, wires_lde, zsp_lde, x, l1, pi_hash, betas, gammas, alphas):
-        alg = algebra.DEVICE_BASE
-        cfg = common.config
-        s = common.num_selectors
-        c = cfg.num_constants
-        num_pp = common.num_partial_products
-        zs = [zsp_lde[:, i] for i in range(cfg.num_challenges)]
-        import jax.numpy as jnp
-        from ..field.goldilocks import GF
-
-        def roll_rows(a, k):
-            return GF(jnp.roll(a.lo, -k, axis=0), jnp.roll(a.hi, -k, axis=0))
-
-        zsp_next = roll_rows(zsp_lde, 1 << cfg.rate_bits)
-        vv = VanishingVars(
-            x=x,
-            wires=wires_lde,
-            selectors=cs_lde[:, :s],
-            constants=cs_lde[:, s : s + c],
-            sigmas=cs_lde[:, s + c :],
-            zs=zs,
-            zs_next=[zsp_next[:, i] for i in range(cfg.num_challenges)],
-            partial_products=[
-                zsp_lde[:, cfg.num_challenges + ch * num_pp : cfg.num_challenges + (ch + 1) * num_pp]
-                for ch in range(cfg.num_challenges)
-            ],
-            l1=l1,
-            pi_hash=pi_hash,
-            betas=[betas[i] for i in range(cfg.num_challenges)],
-            gammas=[gammas[i] for i in range(cfg.num_challenges)],
-            alphas=[alphas[i] for i in range(cfg.num_challenges)],
-        )
-        return eval_vanishing(alg, common, vv)
+        return _device_vanishing_eval(common, cs_lde, wires_lde, zsp_lde,
+                                      x, l1, pi_hash, betas, gammas, alphas)
 
     return jax.jit(run)
 
 
 _device_quotient_fn._common = {}
+
+
+@lru_cache(maxsize=8)
+def _device_quotient_commit_fn(key):
+    """Fused quotient program (VERDICT r2 item 1): vanishing eval over the
+    8n coset -> divide by Z_H -> coset INTT -> chunk split (+ salts) -> LDE
+    -> Merkle levels, all in ONE jitted device program.  The quotient
+    coefficients never leave HBM (openings read them via fri_device).
+    Reference structure: SURVEY.md §3.2 steps 6."""
+    import jax
+
+    from ..field import goldilocks as gfd
+    from ..field.goldilocks import GF
+    from ..hash import merkle as merklem
+
+    common, blinding = _device_quotient_commit_fn._common[key]
+    cfg = common.config
+    n = common.degree
+    # Circuit-constant coset columns baked into the program.
+    x_h, l1_h, zh_inv_h = coset_domain_columns(common)
+    x_c = gfd.from_u64(x_h)
+    l1_c = gfd.from_u64(l1_h)
+    zh_inv_c = gfd.from_u64(zh_inv_h)
+
+    def run(cs_lde, wires_lde, zsp_lde, pi_hash, betas, gammas, alphas, salts):
+        vans = _device_vanishing_eval(common, cs_lde, wires_lde, zsp_lde,
+                                      x_c, l1_c, pi_hash, betas, gammas, alphas)
+        chunks = []
+        for c in range(cfg.num_challenges):
+            qv = gfd.mul(vans[c], zh_inv_c)
+            qc = nttm.coset_intt(qv)  # (8n,) coefficients
+            for t in range(common.quotient_degree_factor):
+                chunks.append(GF(qc.lo[t * n : (t + 1) * n],
+                                 qc.hi[t * n : (t + 1) * n]))
+        coeffs = gfd.stack(chunks, axis=0)
+        if blinding:
+            coeffs = gfd.concatenate([coeffs, salts], axis=0)
+        values = nttm.lde(coeffs, cfg.rate_bits)
+        rows = GF(values.lo.T, values.hi.T)
+        levels = merklem.device_merkle_levels(rows, cfg.fri_config.cap_height)
+        return coeffs, rows, levels
+
+    return jax.jit(run)
+
+
+_device_quotient_commit_fn._common = {}
 
 
 def compute_quotient_values(common, cs_lde, wires_lde, zsp_lde, x, l1, pi_hash,
@@ -170,19 +231,25 @@ def compute_quotient_values(common, cs_lde, wires_lde, zsp_lde, x, l1, pi_hash,
 
         key = (id(common), common.degree_bits)
         _device_quotient_fn._common[key] = common
+        from ..utils.profiling import stage_timer
+
         fn = _device_quotient_fn(key)
-        out = fn(
-            _dev(cs_lde),
-            _dev(wires_lde),
-            _dev(zsp_lde),
-            gfd.from_u64(x),
-            gfd.from_u64(l1),
-            gfd.from_u64(pi_hash),
-            gfd.from_u64(np.array(betas, dtype=np.uint64).reshape(-1, 1)),
-            gfd.from_u64(np.array(gammas, dtype=np.uint64).reshape(-1, 1)),
-            gfd.from_u64(np.array(alphas, dtype=np.uint64).reshape(-1, 1)),
-        )
-        return [gfd.to_u64(v) for v in out]
+        with stage_timer("quotient/device_dispatch"):
+            out = fn(
+                _dev(cs_lde),
+                _dev(wires_lde),
+                _dev(zsp_lde),
+                gfd.from_u64(x),
+                gfd.from_u64(l1),
+                gfd.from_u64(pi_hash),
+                gfd.from_u64(np.array(betas, dtype=np.uint64).reshape(-1, 1)),
+                gfd.from_u64(np.array(gammas, dtype=np.uint64).reshape(-1, 1)),
+                gfd.from_u64(np.array(alphas, dtype=np.uint64).reshape(-1, 1)),
+            )
+            for v in out:
+                v.lo.block_until_ready()
+        with stage_timer("quotient/d2h"):
+            return [gfd.to_u64(v) for v in out]
     from ..field import goldilocks as gfd
 
     def _np(a):
@@ -240,10 +307,40 @@ def coset_domain_columns(common):
     return x, l1, zh_inv
 
 
-def prove(circuit_data, pw: PartialWitness, check_witness: bool = True) -> ProofWithPublicInputs:
+def _resolve_check_witness(check_witness: bool | None) -> bool:
+    """Witness re-checking (every gate constraint re-evaluated on H on host)
+    is a debugging aid, opt-in like the reference (whose prove() does not
+    re-check constraints): pass check_witness=True or set ZKT_CHECK_WITNESS=1."""
+    import os
+
+    if check_witness is None:
+        return bool(os.environ.get("ZKT_CHECK_WITNESS"))
+    return check_witness
+
+
+def _log_prove_path(common, use_device: bool) -> None:
+    """One line per prove stating which compute path ran, so silent host
+    fallbacks (VERDICT r2 weak #7) are visible.  INFO level; also printed
+    under ZKT_TIMING."""
+    import logging
+    import os
+
+    from .. import native
+
+    path = "device" if use_device else ("host-native" if native.available() else "host-numpy")
+    msg = (f"prove path={path} degree=2^{common.degree_bits} "
+           f"lde=2^{common.degree_bits + common.config.rate_bits}")
+    logging.getLogger("zk_circuits_tpu").info(msg)
+    if os.environ.get("ZKT_TIMING"):
+        print(f"[zkt] {msg}", flush=True)
+
+
+def prove(circuit_data, pw: PartialWitness, check_witness: bool | None = None,
+          use_device: bool | None = None) -> ProofWithPublicInputs:
     import os
     import time as _time
 
+    check_witness = _resolve_check_witness(check_witness)
     _dbg = os.environ.get("ZKT_TIMING")
     _t0 = _time.perf_counter()
 
@@ -262,7 +359,9 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool = True) -> Proof
     cfg = common.config
     n = common.degree
     cap_h = cfg.fri_config.cap_height
-    use_device = _default_use_device(common)
+    if use_device is None:
+        use_device = _default_use_device(common)
+    _log_prove_path(common, use_device)
 
     # 1. witness
     wires, public_inputs = generate_witness(circuit_data, pw)
@@ -297,39 +396,71 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool = True) -> Proof
     alphas = ch.get_n_challenges(cfg.num_challenges)
 
     # 5. quotient on the 8n coset
-    x, l1, zh_inv = coset_domain_columns(common)
-    _mark("coset domain")
-    vanishing = compute_quotient_values(
-        common,
-        po.constants_sigmas_commitment.leaves_for_eval(),
-        wires_commitment.leaves_for_eval(),
-        zsp_commitment.leaves_for_eval(),
-        x, l1, pi_hash.reshape(1, 4),
-        betas, gammas, alphas,
-        use_device,
-    )
-    quotient_chunks = []
-    _mark("quotient eval")
-    for c in range(cfg.num_challenges):
-        qv = gl.mul(vanishing[c], zh_inv)
-        qc = nttm.host_coset_intt(qv)  # (8n,) coefficients
-        for t in range(common.quotient_degree_factor):
-            quotient_chunks.append(qc[t * n : (t + 1) * n])
-    quotient_commitment = PolynomialBatch.from_coeffs(
-        np.stack(quotient_chunks), cfg.rate_bits, cap_h,
-        blinding=cfg.zero_knowledge, use_device=use_device,
-    )
-    ch.observe_cap(quotient_commitment.cap)
-    _mark("quotient commit")
+    if use_device:
+        from ..field import goldilocks as gfd
+        from ..fri.fri_device import open_and_fri_device
+        from ..fri.oracle import _deterministic_salt_polys
 
-    oracles = [
-        po.constants_sigmas_commitment,
-        wires_commitment,
-        zsp_commitment,
-        quotient_commitment,
-    ]
-    openings, opening_proof = _open_and_fri(common, oracles, ch)
-    _mark("openings+fri")
+        cs_commit = po.constants_sigmas_commitment.ensure_device()
+        key = (id(common), common.degree_bits, cfg.zero_knowledge)
+        _device_quotient_commit_fn._common[key] = (common, cfg.zero_knowledge)
+        fn = _device_quotient_commit_fn(key)
+        salts = (gfd.from_u64(_deterministic_salt_polys(n, 4))
+                 if cfg.zero_knowledge else gfd.zeros((0, n)))
+        q_coeffs_dev, q_rows, q_levels = fn(
+            cs_commit.leaves_for_eval(),
+            wires_commitment.leaves_for_eval(),
+            zsp_commitment.leaves_for_eval(),
+            gfd.from_u64(pi_hash.reshape(1, 4)),
+            gfd.from_u64(np.array(betas, dtype=np.uint64).reshape(-1, 1)),
+            gfd.from_u64(np.array(gammas, dtype=np.uint64).reshape(-1, 1)),
+            gfd.from_u64(np.array(alphas, dtype=np.uint64).reshape(-1, 1)),
+            salts,
+        )
+        quotient_commitment = PolynomialBatch(
+            None, cfg.rate_bits, cfg.zero_knowledge, cap_h,
+            leaves_dev=q_rows, levels_dev=q_levels, coeffs_dev=q_coeffs_dev,
+        )
+        ch.observe_cap(quotient_commitment.cap)
+        _mark("quotient eval+commit (fused)")
+        oracles = [cs_commit, wires_commitment, zsp_commitment,
+                   quotient_commitment]
+        openings, opening_proof = open_and_fri_device(common, oracles, ch)
+        _mark("openings+fri (device)")
+    else:
+        x, l1, zh_inv = coset_domain_columns(common)
+        _mark("coset domain")
+        vanishing = compute_quotient_values(
+            common,
+            po.constants_sigmas_commitment.leaves_for_eval(),
+            wires_commitment.leaves_for_eval(),
+            zsp_commitment.leaves_for_eval(),
+            x, l1, pi_hash.reshape(1, 4),
+            betas, gammas, alphas,
+            use_device,
+        )
+        quotient_chunks = []
+        _mark("quotient eval")
+        for c in range(cfg.num_challenges):
+            qv = gl.mul(vanishing[c], zh_inv)
+            qc = nttm.host_coset_intt(qv)  # (8n,) coefficients
+            for t in range(common.quotient_degree_factor):
+                quotient_chunks.append(qc[t * n : (t + 1) * n])
+        quotient_commitment = PolynomialBatch.from_coeffs(
+            np.stack(quotient_chunks), cfg.rate_bits, cap_h,
+            blinding=cfg.zero_knowledge, use_device=use_device,
+        )
+        ch.observe_cap(quotient_commitment.cap)
+        _mark("quotient commit")
+
+        oracles = [
+            po.constants_sigmas_commitment,
+            wires_commitment,
+            zsp_commitment,
+            quotient_commitment,
+        ]
+        openings, opening_proof = _open_and_fri(common, oracles, ch)
+        _mark("openings+fri")
 
     proof = Proof(
         wires_cap=wires_commitment.cap.copy(),
@@ -386,7 +517,7 @@ def _open_and_fri(common, oracles, ch: Challenger):
 
 
 def prove_batch(circuit_data, pws: list, mesh=None,
-                check_witness: bool = True,
+                check_witness: bool | None = None,
                 use_device: bool | None = None) -> list:
     """Prove ``B`` independent witnesses of the SAME circuit, batching the
     device hot paths (wire / Z / quotient commits — SURVEY.md §3.2 steps
@@ -408,8 +539,10 @@ def prove_batch(circuit_data, pws: list, mesh=None,
     cfg = common.config
     n = common.degree
     cap_h = cfg.fri_config.cap_height
+    check_witness = _resolve_check_witness(check_witness)
     if use_device is None:
         use_device = _default_use_device(common)
+    _log_prove_path(common, use_device)
     B = len(pws)
     if B == 0:
         return []
