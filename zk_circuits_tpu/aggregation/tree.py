@@ -51,15 +51,36 @@ class TreeAggregationConfig:
         return TreeAggregationConfig()
 
 
+def _log_level_circuit(lc: "LevelCircuit") -> None:
+    """One line per LevelCircuit build quantifying the recursive verifier
+    circuit (VERDICT r2 item 7): gate rows before padding, padded degree,
+    gate-type mix, and build wall time."""
+    import logging
+    import os
+    from collections import Counter
+
+    common = lc.circuit_data.common
+    mix = Counter(type(g).__name__ for g in lc.circuit_data.prover_only.gates_by_row)
+    msg = (f"LevelCircuit b={lc.branching_factor} inner=2^{lc.inner_common.degree_bits}"
+           f" -> rows={lc.num_gate_rows} degree=2^{common.degree_bits}"
+           f" build={lc.build_seconds:.1f}s gates={dict(mix)}")
+    logging.getLogger("zk_circuits_tpu").info(msg)
+    if os.environ.get("ZKT_TIMING"):
+        print(f"[zkt] {msg}", flush=True)
+
+
 class LevelCircuit:
     """One aggregation level: verifies ``branching_factor`` proofs of the
     inner circuit and concatenates their public inputs."""
 
     def __init__(self, inner_common, branching_factor: int,
                  config: CircuitConfig | None = None):
+        import time as _time
+
         self.inner_common = inner_common
         self.branching_factor = branching_factor
         cfg = config or inner_common.config
+        t0 = _time.perf_counter()
         builder = CircuitBuilder(cfg)
         cap_h = inner_common.config.fri_config.cap_height
         self.verifier_data_targets = add_virtual_verifier_data(builder, cap_h)
@@ -71,7 +92,10 @@ class LevelCircuit:
         for pt in self.proof_targets:
             verify_proof_circuit(builder, inner_common, pt,
                                  self.verifier_data_targets)
+        self.num_gate_rows = len(builder.gates)
         self.circuit_data = builder.build()
+        self.build_seconds = _time.perf_counter() - t0
+        _log_level_circuit(self)
 
     def _chunk_witness(self, proofs: list, inner_verifier_only) -> PartialWitness:
         assert len(proofs) == self.branching_factor
@@ -112,13 +136,19 @@ def aggregate_to_tree(proofs: list, inner_common, inner_verifier_only,
     assert len(proofs) == config.num_leaf_proofs
     common = inner_common
     verifier_only = inner_verifier_only
+    import time as _time
+
+    from ..utils import profiling
+
     level_data = None
     while len(proofs) > 1:
         level = LevelCircuit(common, b)
+        t0 = _time.perf_counter()
         if len(proofs) > b:
             proofs = level.prove_level(proofs, verifier_only, mesh=mesh)
         else:
             proofs = [level.prove_chunk(proofs, verifier_only)]
+        profiling._TIMINGS["agg/level_prove"].append(_time.perf_counter() - t0)
         level_data = level.circuit_data
         common = level_data.common
         verifier_only = level_data.verifier_only

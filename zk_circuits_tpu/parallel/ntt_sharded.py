@@ -68,6 +68,17 @@ def _constrain(a: GF, mesh: Mesh, spec: P) -> GF:
     )
 
 
+def _axis_size(mesh: Mesh, axis) -> int:
+    """Total device count along one axis name or a tuple of axis names
+    (hybrid DCN x ICI meshes shard the coefficient axis over both)."""
+    if isinstance(axis, tuple):
+        size = 1
+        for a in axis:
+            size *= mesh.shape[a]
+        return size
+    return mesh.shape[axis]
+
+
 def _ntt_four_step(x: GF, mesh: Mesh, axis: str, inverse: bool) -> GF:
     """Transpose-form four-step: every cross-device move is a plain
     all-to-all row<->column transpose of a P(axis, None)-sharded matrix, and
@@ -76,7 +87,7 @@ def _ntt_four_step(x: GF, mesh: Mesh, axis: str, inverse: bool) -> GF:
     GSPMD into involuntary full rematerialization — gather + replicate — per
     MULTICHIP_r01.json.)"""
     n = x.shape[-1]
-    n_dev = mesh.shape[axis]
+    n_dev = _axis_size(mesh, axis)
     m = n // n_dev
     w_mat = _dft_matrix_e(n_dev, inverse)
     tw = _twiddle_matrix(n, n_dev, inverse)
@@ -125,7 +136,7 @@ def _jitted_four_step(mesh: Mesh, axis: str, inverse: bool):
 def ntt_sharded(x: GF, mesh: Mesh, axis: str = "x") -> GF:
     """Distributed NTT of a 1-D GF array sharded over `axis` (last dim)."""
     n = x.shape[-1]
-    n_dev = mesh.shape[axis]
+    n_dev = _axis_size(mesh, axis)
     assert n % n_dev == 0 and n >= n_dev, "need n divisible by mesh size"
     return _jitted_four_step(mesh, axis, False)(x)
 

@@ -516,6 +516,32 @@ def _open_and_fri(common, oracles, ch: Challenger):
     return openings, opening_proof
 
 
+def _batch_pool(B: int):
+    """Thread pool for the per-proof host stages of prove_batch (witness
+    generation, Z/partial products, quotient INTT, openings+FRI — all
+    numpy/native work that releases the GIL).  This replaces the
+    reference's rayon per-chunk fan-out (tree.rs:92-103) on the host side;
+    the device commits are already batched into single sharded programs.
+    ``ZKT_BATCH_THREADS`` overrides (0/1 = sequential); default = CPU count.
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    env = os.environ.get("ZKT_BATCH_THREADS")
+    workers = int(env) if env else (os.cpu_count() or 1)
+    workers = max(1, min(workers, B))
+    if workers == 1:
+        return None
+    return ThreadPoolExecutor(max_workers=workers)
+
+
+def _pmap_host(pool, fn, n: int) -> list:
+    """Ordered map of fn(i) for i in range(n) over the batch pool."""
+    if pool is None:
+        return [fn(i) for i in range(n)]
+    return list(pool.map(fn, range(n)))
+
+
 def prove_batch(circuit_data, pws: list, mesh=None,
                 check_witness: bool | None = None,
                 use_device: bool | None = None) -> list:
@@ -526,9 +552,10 @@ def prove_batch(circuit_data, pws: list, mesh=None,
     This is the TPU-native replacement for the reference aggregator's rayon
     ``par_chunks`` fan-out (wormhole/aggregator/src/circuits/tree.rs:92-103):
     instead of threads each proving one chunk, every chunk's polynomial
-    commitments run as ONE device computation data-parallel across chips.
-    Proof bytes are identical to sequential :func:`prove` (deterministic
-    ``no_random`` mode).
+    commitments run as ONE device computation data-parallel across chips,
+    and the remaining per-proof host stages fan out over a thread pool
+    (VERDICT r2 item 5).  Proof bytes are identical to sequential
+    :func:`prove` (deterministic ``no_random`` mode).
 
     Returns a list of ProofWithPublicInputs, one per witness.
     """
@@ -547,8 +574,10 @@ def prove_batch(circuit_data, pws: list, mesh=None,
     if B == 0:
         return []
 
-    # 1. witnesses (host, per proof)
-    wits = [generate_witness(circuit_data, pw) for pw in pws]
+    pool = _batch_pool(B)
+
+    # 1. witnesses (host, per proof, threaded)
+    wits = _pmap_host(pool, lambda b: generate_witness(circuit_data, pws[b]), B)
     pi_hashes = [
         hposeidon.hash_no_pad(pis) if len(pis) else np.zeros(4, np.uint64)
         for _, pis in wits
@@ -574,11 +603,12 @@ def prove_batch(circuit_data, pws: list, mesh=None,
         betas_l.append(ch.get_n_challenges(cfg.num_challenges))
         gammas_l.append(ch.get_n_challenges(cfg.num_challenges))
         chs.append(ch)
-    zsp_values = np.stack([
-        compute_zs_and_partial_products(common, po, wits[b][0],
-                                        betas_l[b], gammas_l[b])
-        for b in range(B)
-    ])
+    zsp_values = np.stack(_pmap_host(
+        pool,
+        lambda b: compute_zs_and_partial_products(common, po, wits[b][0],
+                                                  betas_l[b], gammas_l[b]),
+        B,
+    ))
 
     # 4. batched Z/partial-product commit
     zsp_commits = batch_from_values(
@@ -592,8 +622,8 @@ def prove_batch(circuit_data, pws: list, mesh=None,
 
     # 5. quotient on the 8n coset (per proof), then one batched commit
     x, l1, zh_inv = coset_domain_columns(common)
-    quotient_coeffs = []
-    for b in range(B):
+
+    def _quotient_coeffs(b):
         vanishing = compute_quotient_values(
             common,
             po.constants_sigmas_commitment.leaves_for_eval(),
@@ -609,15 +639,18 @@ def prove_batch(circuit_data, pws: list, mesh=None,
             qc = nttm.host_coset_intt(qv)
             for t in range(common.quotient_degree_factor):
                 chunks.append(qc[t * n : (t + 1) * n])
-        quotient_coeffs.append(np.stack(chunks))
+        return np.stack(chunks)
+
+    # Device dispatches serialize on the chip — thread only the host path.
+    quotient_coeffs = _pmap_host(None if use_device else pool,
+                                 _quotient_coeffs, B)
     quotient_commits = batch_from_coeffs(
         np.stack(quotient_coeffs), cfg.rate_bits, cap_h,
         blinding=cfg.zero_knowledge, mesh=mesh, use_device=use_device,
     )
 
-    # 6-7. per-proof openings + FRI (host transcript work)
-    out = []
-    for b in range(B):
+    # 6-7. per-proof openings + FRI (host transcript work, threaded)
+    def _finish(b):
         chs[b].observe_cap(quotient_commits[b].cap)
         oracles = [
             po.constants_sigmas_commitment,
@@ -633,7 +666,11 @@ def prove_batch(circuit_data, pws: list, mesh=None,
             openings=openings,
             opening_proof=opening_proof,
         )
-        out.append(ProofWithPublicInputs(proof, wits[b][1]))
+        return ProofWithPublicInputs(proof, wits[b][1])
+
+    out = _pmap_host(pool, _finish, B)
+    if pool is not None:
+        pool.shutdown()
     return out
 
 
