@@ -150,13 +150,15 @@ def bench_ntt(size_bits, rows=[]):
     })
 
 
-def bench_commit(rows=[]):
+def bench_commit(rows=[], degree_bits=13):
+    # degree 2^13 = our wormhole circuit; 2^14 = the reference's
+    # (tests/test_compat.py: common.bin degree_bits=14).
     from zk_circuits_tpu.field import goldilocks as gfd
     from zk_circuits_tpu.hash import merkle as merklem
     from zk_circuits_tpu.host import gl
     from zk_circuits_tpu.ntt import ntt as nttm
 
-    num_polys, n, rate_bits, cap_h = 135, 1 << 13, 3, 4
+    num_polys, n, rate_bits, cap_h = 135, 1 << degree_bits, 3, 4
     rng = np.random.default_rng(4)
     coeffs = gfd.from_u64(
         rng.integers(0, gl.P_INT, size=(num_polys, n), dtype=np.uint64))
@@ -175,11 +177,11 @@ def bench_commit(rows=[]):
     lde_elems = num_polys * (n << rate_bits)
     perms = (n << rate_bits) * ((num_polys + 7) // 8) + (n << rate_bits)
     sol = max(
-        (lde_elems * 16 * 2 * (13 + rate_bits)) / (HBM_GBPS * 1e9),
+        (lde_elems * 16 * 2 * (degree_bits + rate_bits)) / (HBM_GBPS * 1e9),
         perms * 6.5e4 / (VPU_GOPS * 1e9),
     )
     rows.append({
-        "kernel": "wire commit (LDE+Merkle, 135 x 2^13, rate 8)",
+        "kernel": f"wire commit (LDE+Merkle, 135 x 2^{degree_bits}, rate 8)",
         "time_ms": s * 1e3,
         "throughput": f"{lde_elems / s / 1e6:.1f} Mfelt/s",
         "sol_ms": sol * 1e3,
@@ -206,7 +208,8 @@ def main():
     bench_poseidon(rows)
     for b in [int(x) for x in args.sizes.split(",")]:
         bench_ntt(b, rows)
-    bench_commit(rows)
+    bench_commit(rows, degree_bits=13)
+    bench_commit(rows, degree_bits=14)
 
     hdr = f"| kernel | time (ms) | throughput | speed-of-light (ms) | SoL frac |"
     sep = "|---|---|---|---|---|"

@@ -116,15 +116,22 @@ def proof_of_work_grind(pow_base: np.ndarray, pow_bits: int) -> int:
     """Min witness w >= 0 with H(pow_base ‖ w)[0] having >= pow_bits leading
     zeros.  Deterministic (no_random parity).
 
-    Default: native C++ host scan — a 16-bit grind (~2^16 Poseidon hashes)
-    is milliseconds on host and far below device-dispatch break-even on
-    this image's tunneled accelerator.  ``ZKT_DEVICE_GRIND=1`` opts into
-    the jitted 2^17-wide device sweep (one dispatch per batch) for
-    configurations with much higher pow_bits where the device wins."""
+    Measured break-even (TPU v5e via tunnel, 16-bit grind, 2026-08-20):
+    warm device sweep (Pallas sponge, 2^17 hashes/dispatch) 55-76 ms vs
+    native host scan 0.3-1.3 s on this image's 2 CPUs — the device wins
+    ~15x warm, so it is the default on the tpu backend (first call pays a
+    one-time jit, cached persistently).  ``ZKT_HOST_GRIND=1`` forces the
+    host scan; ``ZKT_DEVICE_GRIND=1`` forces the device sweep on other
+    backends (XLA fallback hash)."""
     import os
 
     threshold = np.uint64(1 << (64 - pow_bits))
-    if os.environ.get("ZKT_DEVICE_GRIND"):
+    use_device = os.environ.get("ZKT_DEVICE_GRIND")
+    if not use_device and not os.environ.get("ZKT_HOST_GRIND"):
+        import jax
+
+        use_device = jax.default_backend() == "tpu"
+    if use_device:
         return _device_grind(pow_base, threshold)
     return _host_grind(pow_base, threshold, 0)
 
@@ -138,9 +145,11 @@ def _device_grind_fn():
 
     from ..field import goldilocks as gfd
     from ..hash import poseidon as dposeidon
+    from ..hash import poseidon_pallas as pp
 
     if _device_grind_fn._cache is None:
         batch = _DEVICE_GRIND_BATCH
+        use_pallas = jax.default_backend() == "tpu"
 
         def run(base: gfd.GF, start_lo, thr_lo, thr_hi):
             ws_lo = start_lo + jnp.arange(batch, dtype=jnp.uint32)
@@ -153,7 +162,9 @@ def _device_grind_fn():
                      jnp.zeros((batch, 1), jnp.uint32)], axis=1
                 ),
             )
-            h = dposeidon.batch_hash_no_pad(inp)
+            # witness values start_lo + i < 2^31 always fit in the lo limb
+            h = (pp.hash_leaves(inp, interpret=False) if use_pallas
+                 else dposeidon.batch_hash_no_pad(inp))
             lo, hi = h.lo[:, 0], h.hi[:, 0]
             ok = (hi < thr_hi) | ((hi == thr_hi) & (lo < thr_lo))
             idx = jnp.argmax(ok)  # first True (ties: lowest index = min witness)

@@ -258,9 +258,16 @@ def _final_fold_fn(n_coeffs: int, arity_bits: int):
     return jax.jit(run)
 
 
-@lru_cache(maxsize=16)
+import functools
+
+
+@functools.lru_cache(maxsize=16)
 def _gather_fn(num_trees: int, shapes: tuple):
-    """Gather query rows + sibling paths for several trees in one program.
+    """Gather query rows + sibling paths for several trees in one program,
+    returning ONE flat (2, total) u32 buffer (lo row, hi row) so the host
+    needs a single d2h fetch — each fetch through the tunnel costs ~50 ms,
+    so per-tree fetches dominated the query stage.  Memoized per shape so
+    warm proves reuse the compiled program.
 
     shapes[t] = (num_levels, leaf_width); inputs: per tree (leaves, levels
     list), plus per tree an index vector (Q,)."""
@@ -268,22 +275,17 @@ def _gather_fn(num_trees: int, shapes: tuple):
     import jax.numpy as jnp
 
     def run(trees, idxs):
-        out = []
+        chunks_lo, chunks_hi = [], []
         for (leaves, levels), idx in zip(trees, idxs):
-            rows = GF(leaves.lo[idx], leaves.hi[idx])
-            sib_lo, sib_hi = [], []
+            chunks_lo.append(leaves.lo[idx].reshape(-1))
+            chunks_hi.append(leaves.hi[idx].reshape(-1))
             i = idx
             for lv in levels[:-1]:
-                sib_lo.append(lv.lo[i ^ 1])
-                sib_hi.append(lv.hi[i ^ 1])
+                chunks_lo.append(lv.lo[i ^ 1].reshape(-1))
+                chunks_hi.append(lv.hi[i ^ 1].reshape(-1))
                 i = i >> 1
-            if sib_lo:
-                sibs = GF(jnp.stack(sib_lo, axis=1), jnp.stack(sib_hi, axis=1))
-            else:
-                q = idx.shape[0]
-                sibs = gfd.zeros((q, 0, 4))
-            out.append((rows, sibs))
-        return tuple(out)
+        return jnp.stack(
+            [jnp.concatenate(chunks_lo), jnp.concatenate(chunks_hi)])
 
     return jax.jit(run)
 
@@ -291,13 +293,31 @@ def _gather_fn(num_trees: int, shapes: tuple):
 def gather_trees(trees: list, idxs: list[np.ndarray]):
     """trees: list of (leaves GF (N, w), levels list[GF]); idxs: per-tree
     query indices.  Returns [(rows u64 (Q, w), sibs u64 (Q, L, 4))]."""
+    import jax
     import jax.numpy as jnp
 
     shapes = tuple((len(lv), lf.lo.shape[1]) for lf, lv in trees)
     fn = _gather_fn(len(trees), shapes)
     jidx = tuple(jnp.asarray(np.asarray(i, dtype=np.int64)) for i in idxs)
-    out = fn(tuple(trees), jidx)
-    return [(gfd.to_u64(rows), gfd.to_u64(sibs)) for rows, sibs in out]
+    flat = np.asarray(jax.device_get(fn(tuple(trees), jidx)))
+    u64 = flat[0].astype(np.uint64) | (flat[1].astype(np.uint64) << np.uint64(32))
+    out = []
+    pos = 0
+    for (lf, lv), idx in zip(trees, idxs):
+        q = int(np.asarray(idx).shape[0])
+        w = lf.lo.shape[1]
+        nlev = len(lv) - 1
+        rows = u64[pos : pos + q * w].reshape(q, w)
+        pos += q * w
+        if nlev > 0:
+            sibs = u64[pos : pos + nlev * q * 4].reshape(nlev, q, 4)
+            sibs = np.ascontiguousarray(sibs.transpose(1, 0, 2))
+            pos += nlev * q * 4
+        else:
+            sibs = np.zeros((q, 0, 4), dtype=np.uint64)
+        out.append((rows, sibs))
+    assert pos == u64.shape[0]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -413,23 +433,23 @@ def open_and_fri_device(common, oracles, ch) -> tuple:
                for _ in range(fri_config.num_query_rounds)]
     idx_arr = np.array(indices, dtype=np.int64)
 
-    # --- query gathers: one program for the oracles, one for the FRI trees ---
+    # --- query gathers: ONE program + ONE d2h fetch for oracles and FRI
+    # commit trees together (per-fetch tunnel latency dominates) ---
     with stage_timer("fri/query_gather"):
         oracle_trees = [(o.leaves_dev, tuple(o.levels_dev)) for o in oracles]
-        opened = gather_trees(
-            [(lf, lv) for lf, lv in oracle_trees],
-            [idx_arr] * len(oracles),
-        )
         step_idx = []
         cur_size = lde_size
         for a_bits in arities:
             m = cur_size >> a_bits
             step_idx.append(idx_arr % m)
             cur_size = m
-        fri_opened = gather_trees(
-            [(lf, tuple(lv)) for lf, lv in trees],
-            step_idx,
+        all_opened = gather_trees(
+            [(lf, lv) for lf, lv in oracle_trees]
+            + [(lf, tuple(lv)) for lf, lv in trees],
+            [idx_arr] * len(oracles) + step_idx,
         )
+        opened = all_opened[: len(oracles)]
+        fri_opened = all_opened[len(oracles):]
 
     query_rounds = []
     for qi, idx in enumerate(indices):

@@ -24,6 +24,7 @@ from ..host import gl
 from ..plonk.config import CircuitConfig
 from . import targets as T
 from .gates import (
+    ArithmeticExtensionGate,
     ArithmeticGate,
     BaseSum2Gate,
     ConstantGate,
@@ -31,6 +32,7 @@ from .gates import (
     NoopGate,
     PoseidonGate,
     PublicInputGate,
+    RandomAccessGate,
 )
 
 P = gl.P_INT
@@ -82,6 +84,8 @@ class CircuitBuilder:
         self._constant_cache: dict[int, int] = {}
         self._const_slots: tuple[int, int] | None = None  # (row, next_slot)
         self._arith_slots: dict[tuple[int, int], tuple[int, int]] = {}
+        self._arith_ext_slots: dict[tuple[int, int], tuple[int, int]] = {}
+        self._ra_slots: dict[int, tuple[int, int]] = {}  # bits -> (row, copy)
         self._built = False
 
     # ------------------------------------------------------------------
@@ -252,6 +256,82 @@ class CircuitBuilder:
                 b = self.mul(b, b)
             exponent >>= 1
         return result
+
+    # ------------------------------------------------------------------
+    # extension arithmetic (GF(p^2) wire pairs) — used by the recursive
+    # verifier; one gate op per ext operation instead of 4-6 base ops.
+    # ------------------------------------------------------------------
+
+    def arithmetic_extension(
+        self, c0: int, c1: int,
+        m0: tuple[int, int], m1: tuple[int, int], addend: tuple[int, int],
+    ) -> tuple[int, int]:
+        """out = c0 * (m0 ⊗ m1) + c1 * addend over GF(p^2); returns the
+        output wire pair."""
+        c0 %= P
+        c1 %= P
+        key = (c0, c1)
+        slot = self._arith_ext_slots.get(key)
+        num_ops = ArithmeticExtensionGate().num_ops
+        if slot is None or slot[1] >= num_ops:
+            row = self._add_row(ArithmeticExtensionGate(num_ops=num_ops), [c0, c1])
+            slot = (row, 0)
+        row, i = slot
+        self._arith_ext_slots[key] = (row, i + 1)
+        ws = [T.wire(row, 8 * i + j) for j in range(8)]
+        for t, w in zip((*m0, *m1, *addend), ws[:6]):
+            self.connect(t, w)
+        self.generators.append(
+            GeneratorOp(
+                "arith_ext",
+                row=row,
+                data=(c0, c1),
+                inputs=tuple(ws[:6]),
+                outputs=(ws[6], ws[7]),
+            )
+        )
+        return (ws[6], ws[7])
+
+    # ------------------------------------------------------------------
+    # random access (in-circuit list indexing)
+    # ------------------------------------------------------------------
+
+    def _ra_copies(self, bits: int) -> int:
+        V = 1 << bits
+        return max(1, min(self.config.num_routed_wires // (V + 2),
+                          self.config.num_wires // (V + 2 + bits)))
+
+    def random_access(self, index: int, values: list[int]) -> int:
+        """values[index] as a routed wire; len(values) must be a power of
+        two.  One RandomAccessGate copy instead of a len-1 select tree."""
+        V = len(values)
+        bits = V.bit_length() - 1
+        assert 1 << bits == V and bits >= 1
+        copies = self._ra_copies(bits)
+        gate = RandomAccessGate(bits=bits, num_copies=copies)
+        slot = self._ra_slots.get(bits)
+        if slot is None or slot[1] >= copies:
+            row = self._add_row(gate)
+            slot = (row, 0)
+        row, c = slot
+        self._ra_slots[bits] = (row, c + 1)
+        idx_w = T.wire(row, gate.wire_index(c))
+        claimed_w = T.wire(row, gate.wire_claimed(c))
+        self.connect(index, idx_w)
+        for k, t in enumerate(values):
+            self.connect(t, T.wire(row, gate.wire_list(c, k)))
+        bit_ws = tuple(T.wire(row, gate.wire_bit(c, j)) for j in range(bits))
+        self.generators.append(
+            GeneratorOp(
+                "random_access",
+                row=row,
+                data=(bits,),
+                inputs=(idx_w,) + tuple(
+                    T.wire(row, gate.wire_list(c, k)) for k in range(V)),
+                outputs=(claimed_w,) + bit_ws,
+            )
+        )
+        return claimed_w
 
     # ------------------------------------------------------------------
     # boolean logic

@@ -206,6 +206,146 @@ class BaseSum2Gate(Gate):
         return [gfd.sub(s, acc)] + [boolean[..., i] for i in range(self.num_limbs)]
 
 
+@dataclass(frozen=True, eq=False)
+class ArithmeticExtensionGate(Gate):
+    """num_ops ops of: out = c0 * (m0 ⊗ m1) + c1 * addend over GF(p^2).
+
+    ⊗ is multiplication in GF(p)[φ]/(φ^2 - 7); operands are wire PAIRS
+    (c0-component, c1-component).  Wires per op i: [8i..8i+8) =
+    m0(2) ‖ m1(2) ‖ addend(2) ‖ out(2).  c0, c1 are the row's two base
+    constant slots.  Halves the row cost of the recursive verifier's
+    extension algebra vs expanding each ext op into base ArithmeticGate
+    ops (reference analog: qp-plonky2's ArithmeticExtensionGate, used
+    pervasively by its recursion module).
+    """
+
+    num_ops: int = 10
+    W: int = 7  # extension generator: φ^2 = 7
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "id", f"ArithmeticExtensionGate(num_ops={self.num_ops})")
+        object.__setattr__(self, "degree", 3)
+        object.__setattr__(self, "num_constraints", 2 * self.num_ops)
+        object.__setattr__(self, "num_constants_used", 2)
+        object.__setattr__(self, "num_wires_used", 8 * self.num_ops)
+
+    def eval(self, v: EvalVars) -> list:
+        alg = v.alg
+        c0 = alg.col(v.local_constants, 0)
+        c1 = alg.col(v.local_constants, 1)
+        out = []
+        for i in range(self.num_ops):
+            m0 = (alg.col(v.local_wires, 8 * i), alg.col(v.local_wires, 8 * i + 1))
+            m1 = (alg.col(v.local_wires, 8 * i + 2), alg.col(v.local_wires, 8 * i + 3))
+            ad = (alg.col(v.local_wires, 8 * i + 4), alg.col(v.local_wires, 8 * i + 5))
+            o = (alg.col(v.local_wires, 8 * i + 6), alg.col(v.local_wires, 8 * i + 7))
+            # m0 ⊗ m1
+            p0 = alg.add(alg.mul(m0[0], m1[0]),
+                         alg.mul_scalar(alg.mul(m0[1], m1[1]), self.W))
+            p1 = alg.add(alg.mul(m0[0], m1[1]), alg.mul(m0[1], m1[0]))
+            comp0 = alg.add(alg.mul(c0, p0), alg.mul(c1, ad[0]))
+            comp1 = alg.add(alg.mul(c0, p1), alg.mul(c1, ad[1]))
+            out.append(alg.sub(comp0, o[0]))
+            out.append(alg.sub(comp1, o[1]))
+        return out
+
+    def eval_device(self, v: EvalVars) -> list:
+        """Vectorized over the num_ops axis."""
+        from ..field import goldilocks as gfd
+        from ..field.goldilocks import GF
+
+        w = v.local_wires
+        oct_ = w[..., : 8 * self.num_ops]
+        oct_ = oct_.reshape(oct_.shape[0], self.num_ops, 8)
+        m00, m01, m10, m11, a0, a1, o0, o1 = (oct_[..., j] for j in range(8))
+        c0 = v.local_constants[..., 0]
+        c1 = v.local_constants[..., 1]
+        c0b = GF(c0.lo[:, None], c0.hi[:, None])
+        c1b = GF(c1.lo[:, None], c1.hi[:, None])
+        p0 = gfd.add(gfd.mul(m00, m10), gfd.mul_const(gfd.mul(m01, m11), self.W))
+        p1 = gfd.add(gfd.mul(m00, m11), gfd.mul(m01, m10))
+        d0 = gfd.sub(gfd.add(gfd.mul(c0b, p0), gfd.mul(c1b, a0)), o0)
+        d1 = gfd.sub(gfd.add(gfd.mul(c0b, p1), gfd.mul(c1b, a1)), o1)
+        out = []
+        for i in range(self.num_ops):
+            out.append(d0[..., i])
+            out.append(d1[..., i])
+        return out
+
+
+@dataclass(frozen=True, eq=False)
+class RandomAccessGate(Gate):
+    """num_copies random accesses into a 2^bits-element list per row.
+
+    Copy c routed wires at [c*(V+2) .. (c+1)*(V+2)): index ‖ claimed ‖
+    V list elements.  Unrouted bit wires at [num_copies*(V+2) + c*bits ..
+    +bits): LE bit decomposition of index.  Constraints per copy:
+    booleanity of each bit, index recomposition, and the bit-muxed list
+    element equalling ``claimed`` (degree bits+1).
+
+    Replaces the O(2^cap_height) select-mux trees in the recursive
+    verifier's Merkle cap / FRI coset lookups (reference analog:
+    qp-plonky2's RandomAccessGate, gate tag 13 in compat/serde.py).
+    """
+
+    bits: int = 4
+    num_copies: int = 4
+
+    def __post_init__(self):
+        V = 1 << self.bits
+        object.__setattr__(
+            self, "id",
+            f"RandomAccessGate(bits={self.bits},copies={self.num_copies})")
+        object.__setattr__(self, "degree", self.bits + 1)
+        object.__setattr__(self, "num_constraints",
+                           self.num_copies * (self.bits + 2))
+        object.__setattr__(self, "num_wires_used",
+                           self.num_copies * (V + 2 + self.bits))
+
+    @property
+    def vec_size(self) -> int:
+        return 1 << self.bits
+
+    def wire_index(self, c: int) -> int:
+        return c * (self.vec_size + 2)
+
+    def wire_claimed(self, c: int) -> int:
+        return c * (self.vec_size + 2) + 1
+
+    def wire_list(self, c: int, k: int) -> int:
+        return c * (self.vec_size + 2) + 2 + k
+
+    def wire_bit(self, c: int, j: int) -> int:
+        return self.num_copies * (self.vec_size + 2) + c * self.bits + j
+
+    def eval(self, v: EvalVars) -> list:
+        alg = v.alg
+        w = v.local_wires
+        cons = []
+        for c in range(self.num_copies):
+            idx = alg.col(w, self.wire_index(c))
+            claimed = alg.col(w, self.wire_claimed(c))
+            bits = [alg.col(w, self.wire_bit(c, j)) for j in range(self.bits)]
+            for b in bits:
+                cons.append(alg.sub(alg.mul(b, b), b))
+            acc = None
+            for j, b in enumerate(bits):
+                term = alg.mul_scalar(b, 1 << j)
+                acc = term if acc is None else alg.add(acc, term)
+            cons.append(alg.sub(idx, acc))
+            # fold the list by bits, LSB first
+            entries = [alg.col(w, self.wire_list(c, k))
+                       for k in range(self.vec_size)]
+            for b in bits:
+                entries = [
+                    alg.add(lo, alg.mul(b, alg.sub(hi, lo)))
+                    for lo, hi in zip(entries[0::2], entries[1::2])
+                ]
+            cons.append(alg.sub(entries[0], claimed))
+        return cons
+
+
 class PoseidonGate(Gate):
     """Full width-12 Poseidon permutation in one row (135 wires).
 
@@ -488,4 +628,11 @@ def gate_from_id(gate_id: str) -> Gate:
         return ArithmeticGate(num_ops=int(gate_id[len("ArithmeticGate(num_ops="):-1]))
     if gate_id.startswith("BaseSum2Gate("):
         return BaseSum2Gate(num_limbs=int(gate_id[len("BaseSum2Gate(num_limbs="):-1]))
+    if gate_id.startswith("ArithmeticExtensionGate("):
+        return ArithmeticExtensionGate(
+            num_ops=int(gate_id[len("ArithmeticExtensionGate(num_ops="):-1]))
+    if gate_id.startswith("RandomAccessGate("):
+        inner = gate_id[len("RandomAccessGate("):-1]
+        kv = dict(p.split("=") for p in inner.split(","))
+        return RandomAccessGate(bits=int(kv["bits"]), num_copies=int(kv["copies"]))
     raise ValueError(f"unknown gate id: {gate_id}")

@@ -196,6 +196,33 @@ def generate_witness(circuit_data, pw: PartialWitness) -> np.ndarray:
             x = np.stack([values[ir[:, 0]], values[ir[:, 1]]], axis=-1)
             inv = gle.inverse(x)  # (m, 2)
             set_reps(d["out_reps"], inv)
+        elif batch.kind == "arith_ext":
+            from ..host import gle
+
+            ir = d["in_reps"]  # (m, 6): m0(2) m1(2) addend(2)
+            require(ir)
+            m0 = np.stack([values[ir[:, 0]], values[ir[:, 1]]], axis=-1)
+            m1 = np.stack([values[ir[:, 2]], values[ir[:, 3]]], axis=-1)
+            ad = np.stack([values[ir[:, 4]], values[ir[:, 5]]], axis=-1)
+            out = gle.add(gle.mul_base(gle.mul(m0, m1), d["c0"]),
+                          gle.mul_base(ad, d["c1"]))
+            set_reps(d["out_reps"], out)
+            write_wires(d, out)
+        elif batch.kind == "random_access":
+            ir = d["in_reps"]  # (m, 1 + V): index + list
+            require(ir)
+            idx = values[ir[:, 0]].astype(np.int64)
+            nbits = d["num_bits"]
+            assert np.all((idx >= 0) & (idx < (1 << nbits))), \
+                "random_access index out of range"
+            lists = values[ir[:, 1:]]
+            claimed = lists[np.arange(ir.shape[0]), idx]
+            bits = ((idx[:, None].astype(np.uint64)
+                     >> np.arange(nbits, dtype=np.uint64)[None, :])
+                    & np.uint64(1))
+            out = np.concatenate([claimed[:, None], bits], axis=1)
+            set_reps(d["out_reps"], out)
+            write_wires(d, out)
         else:
             raise ValueError(batch.kind)
 

@@ -360,7 +360,7 @@ def _compile_schedule(builder, rep_of, num_reps: int) -> list[ScheduleBatch]:
     # Bin ops by (level, kind, width-key) and precompute index arrays.
     bins: dict[tuple, list[int]] = defaultdict(list)
     for oi, op in enumerate(ops):
-        key_extra = op.data if op.kind in ("base_sum",) else ()
+        key_extra = op.data if op.kind in ("base_sum", "random_access") else ()
         bins[(op_level[oi], op.kind) + key_extra].append(oi)
 
     def _wire_outputs(batch_ops):
@@ -426,6 +426,23 @@ def _compile_schedule(builder, rep_of, num_reps: int) -> list[ScheduleBatch]:
                 [rep_of[op.outputs[0]] for op in batch_ops], dtype=np.int64
             )
         elif kind == "ext_inv":
+            data["in_reps"] = np.array(
+                [[rep_of[t] for t in op.inputs] for op in batch_ops], dtype=np.int64
+            )
+            data["out_reps"] = np.array(
+                [[rep_of[t] for t in op.outputs] for op in batch_ops], dtype=np.int64
+            )
+        elif kind == "arith_ext":
+            data["in_reps"] = np.array(
+                [[rep_of[t] for t in op.inputs] for op in batch_ops], dtype=np.int64
+            )
+            data["out_reps"] = np.array(
+                [[rep_of[t] for t in op.outputs] for op in batch_ops], dtype=np.int64
+            )
+            data["c0"] = np.array([op.data[0] for op in batch_ops], dtype=np.uint64)
+            data["c1"] = np.array([op.data[1] for op in batch_ops], dtype=np.uint64)
+        elif kind == "random_access":
+            data["num_bits"] = batch_ops[0].data[0]
             data["in_reps"] = np.array(
                 [[rep_of[t] for t in op.inputs] for op in batch_ops], dtype=np.int64
             )

@@ -43,34 +43,65 @@ def ext_from_base(b: CircuitBuilder, t: int) -> ExtTarget:
     return ExtTarget(t, b.zero())
 
 
+def _ext_one_t(b: CircuitBuilder) -> tuple[int, int]:
+    return (b.one(), b.zero())
+
+
+def _ext_zero_t(b: CircuitBuilder) -> tuple[int, int]:
+    z = b.zero()
+    return (z, z)
+
+
+def _ae(b: CircuitBuilder, c0: int, c1: int, m0: ExtTarget,
+        m1: tuple[int, int] | ExtTarget, addend: tuple[int, int] | ExtTarget
+        ) -> ExtTarget:
+    """One ArithmeticExtensionGate op: c0*(m0 ⊗ m1) + c1*addend."""
+    m1t = (m1.c0, m1.c1) if isinstance(m1, ExtTarget) else m1
+    adt = (addend.c0, addend.c1) if isinstance(addend, ExtTarget) else addend
+    o0, o1 = b.arithmetic_extension(c0, c1, (m0.c0, m0.c1), m1t, adt)
+    return ExtTarget(o0, o1)
+
+
 def ext_add(b: CircuitBuilder, x: ExtTarget, y: ExtTarget) -> ExtTarget:
-    return ExtTarget(b.add(x.c0, y.c0), b.add(x.c1, y.c1))
+    return _ae(b, 1, 1, x, _ext_one_t(b), y)
 
 
 def ext_sub(b: CircuitBuilder, x: ExtTarget, y: ExtTarget) -> ExtTarget:
-    return ExtTarget(b.sub(x.c0, y.c0), b.sub(x.c1, y.c1))
+    from ..host import gl as _gl
+
+    return _ae(b, 1, _gl.P_INT - 1, x, _ext_one_t(b), y)
 
 
 def ext_neg(b: CircuitBuilder, x: ExtTarget) -> ExtTarget:
-    return ExtTarget(b.neg(x.c0), b.neg(x.c1))
+    from ..host import gl as _gl
+
+    return _ae(b, _gl.P_INT - 1, 0, x, _ext_one_t(b), _ext_zero_t(b))
 
 
 def ext_mul(b: CircuitBuilder, x: ExtTarget, y: ExtTarget) -> ExtTarget:
     """(x0 + x1 φ)(y0 + y1 φ) = (x0y0 + 7 x1y1) + (x0y1 + x1y0) φ."""
-    x0y0 = b.mul(x.c0, y.c0)
-    c0 = b.arithmetic(W, 1, x.c1, y.c1, x0y0)        # 7*x1*y1 + x0y0
-    x1y0 = b.mul(x.c1, y.c0)
-    c1 = b.mul_add(x.c0, y.c1, x1y0)                  # x0*y1 + x1*y0
-    return ExtTarget(c0, c1)
+    return _ae(b, 1, 0, x, y, _ext_zero_t(b))
+
+
+def ext_mul_add(b: CircuitBuilder, x: ExtTarget, y: ExtTarget,
+                z: ExtTarget) -> ExtTarget:
+    """x ⊗ y + z in a single gate op."""
+    return _ae(b, 1, 1, x, y, z)
 
 
 def ext_mul_base(b: CircuitBuilder, x: ExtTarget, s: int) -> ExtTarget:
     """Multiply by a base-field *target* s."""
-    return ExtTarget(b.mul(x.c0, s), b.mul(x.c1, s))
+    return _ae(b, 1, 0, x, (s, b.zero()), _ext_zero_t(b))
 
 
 def ext_mul_const(b: CircuitBuilder, x: ExtTarget, c: int) -> ExtTarget:
-    return ExtTarget(b.mul_const(c, x.c0), b.mul_const(c, x.c1))
+    return _ae(b, c, 0, x, _ext_one_t(b), _ext_zero_t(b))
+
+
+def ext_mul_const_add(b: CircuitBuilder, x: ExtTarget, c: int,
+                      z: ExtTarget) -> ExtTarget:
+    """c * x + z in a single gate op."""
+    return _ae(b, c, 1, x, _ext_one_t(b), z)
 
 
 def ext_square(b: CircuitBuilder, x: ExtTarget) -> ExtTarget:
@@ -95,9 +126,17 @@ def ext_exp_u64(b: CircuitBuilder, x: ExtTarget, e: int) -> ExtTarget:
     return result
 
 
+def ext_mul_base_add(b: CircuitBuilder, x: ExtTarget, s: int,
+                     z: ExtTarget) -> ExtTarget:
+    """x * s + z (s a base-field target) in a single gate op."""
+    return _ae(b, 1, 1, x, (s, b.zero()), z)
+
+
 def ext_select(b: CircuitBuilder, cond: BoolTarget, x: ExtTarget,
                y: ExtTarget) -> ExtTarget:
-    return ExtTarget(b.select(cond, x.c0, y.c0), b.select(cond, x.c1, y.c1))
+    # y + cond * (x - y): two gate ops.
+    d = ext_sub(b, x, y)
+    return ext_mul_base_add(b, d, cond.target, y)
 
 
 def ext_connect(b: CircuitBuilder, x: ExtTarget, y: ExtTarget) -> None:
@@ -122,11 +161,39 @@ def ext_div(b: CircuitBuilder, x: ExtTarget, y: ExtTarget) -> ExtTarget:
 
 def reduce_with_powers(b: CircuitBuilder, terms: list[ExtTarget],
                        alpha: ExtTarget) -> ExtTarget:
-    """Σ_i alpha^i terms[i] via Horner from the top."""
+    """Σ_i alpha^i terms[i] via Horner from the top (one gate op/term)."""
     acc = ext_zero(b)
     for t in reversed(terms):
-        acc = ext_add(b, ext_mul(b, acc, alpha), t)
+        acc = ext_mul_add(b, acc, alpha, t)
     return acc
+
+
+def bits_to_index(b: CircuitBuilder, bits: list[BoolTarget]) -> int:
+    """Σ_j 2^j bits[j] as a routed base target (for random_access)."""
+    if not bits:
+        return b.zero()
+    acc = bits[0].target
+    for j, bt in enumerate(bits[1:], start=1):
+        acc = b.arithmetic(1 << j, 1, bt.target, b.one(), acc)
+    return acc
+
+
+def random_access_hashes(b: CircuitBuilder, index: int,
+                         entries: list[HashOutTarget]) -> HashOutTarget:
+    """entries[index] via 4 RandomAccessGate copies sharing the index."""
+    return HashOutTarget.from_list([
+        b.random_access(index, [e.elements[k] for e in entries])
+        for k in range(4)
+    ])
+
+
+def random_access_ext(b: CircuitBuilder, index: int,
+                      entries: list) -> "ExtTarget":
+    """entries[index] for ExtTarget entries (2 copies sharing the index)."""
+    return ExtTarget(
+        b.random_access(index, [e.c0 for e in entries]),
+        b.random_access(index, [e.c1 for e in entries]),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -230,18 +297,12 @@ def verify_merkle_proof_with_cap_index(
             [b.select(bit, current.elements[k], sib.elements[k]) for k in range(4)]
         )
         current = compress(b, left, right)
-    # Mux the cap entry addressed by the remaining bits.
+    # Random-access the cap entry addressed by the remaining bits.
     cap_bits = index_bits[len(siblings):]
     assert len(cap) == 1 << len(cap_bits)
-    entries = cap
-    for bit in cap_bits:
-        entries = [
-            HashOutTarget.from_list(
-                [
-                    b.select(bit, hi.elements[k], lo.elements[k])
-                    for k in range(4)
-                ]
-            )
-            for lo, hi in zip(entries[0::2], entries[1::2])
-        ]
-    b.connect_hashes(current, entries[0])
+    if not cap_bits:
+        cap_entry = cap[0]
+    else:
+        idx = bits_to_index(b, cap_bits)
+        cap_entry = random_access_hashes(b, idx, cap)
+    b.connect_hashes(current, cap_entry)

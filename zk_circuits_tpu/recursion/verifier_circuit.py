@@ -76,8 +76,10 @@ class CircuitAlg:
                 coeff = MDS_MATRIX_CIRC[(i - r) % WIDTH] + (
                     MDS_MATRIX_DIAG[r] if i == r else 0
                 )
-                term = G.ext_mul_const(self.b, state[i], coeff)
-                acc = term if acc is None else G.ext_add(self.b, acc, term)
+                if acc is None:
+                    acc = G.ext_mul_const(self.b, state[i], coeff)
+                else:
+                    acc = G.ext_mul_const_add(self.b, state[i], coeff, acc)
             out.append(acc)
         return out
 
@@ -283,28 +285,18 @@ def _pow_product(b: CircuitBuilder, base_const: int, bits: list[BoolTarget],
 
 def _mux_ext(b: CircuitBuilder, values: list[ExtTarget],
              bits: list[BoolTarget]) -> ExtTarget:
-    """values[index] with index given LSB-first by bits; |values| = 2^|bits|."""
-    entries = values
-    for bit in bits:
-        entries = [
-            G.ext_select(b, bit, hi, lo)
-            for lo, hi in zip(entries[0::2], entries[1::2])
-        ]
-    assert len(entries) == 1
-    return entries[0]
+    """values[index] with index given LSB-first by bits; |values| = 2^|bits|.
+    One RandomAccessGate copy per component instead of a select tree."""
+    if not bits:
+        return values[0]
+    return G.random_access_ext(b, G.bits_to_index(b, bits), values)
 
 
 def _mux_hash(b: CircuitBuilder, entries: list[HashOutTarget],
               bits: list[BoolTarget]) -> HashOutTarget:
-    cur = entries
-    for bit in bits:
-        cur = [
-            HashOutTarget.from_list(
-                [b.select(bit, hi.elements[k], lo.elements[k]) for k in range(4)]
-            )
-            for lo, hi in zip(cur[0::2], cur[1::2])
-        ]
-    return cur[0]
+    if not bits:
+        return entries[0]
+    return G.random_access_hashes(b, G.bits_to_index(b, bits), entries)
 
 
 def _verify_merkle_path(b: CircuitBuilder, leaf: list[int],
@@ -398,7 +390,7 @@ def verify_proof_circuit(
     for c in range(cfg.num_challenges):
         acc = G.ext_zero(b)
         for t in range(q - 1, -1, -1):
-            acc = G.ext_add(b, G.ext_mul(b, acc, zeta_pow_n), pt.quotient[c * q + t])
+            acc = G.ext_mul_add(b, acc, zeta_pow_n, pt.quotient[c * q + t])
         rhs = G.ext_mul(b, zh_zeta, acc)
         G.ext_connect(b, combined[c], rhs)
 
@@ -459,7 +451,7 @@ def verify_proof_circuit(
         q1 = G.ext_mul(b, num1, G.ext_inverse(b, G.ext_sub(b, x_ext, zeta_next)))
         # combined value = q1 + alpha^{num_challenges} * q0 (prover.py step 7)
         shift_pow = G.ext_exp_u64(b, alpha, cfg.num_challenges)
-        cur_value = G.ext_add(b, q1, G.ext_mul(b, shift_pow, q0))
+        cur_value = G.ext_mul_add(b, shift_pow, q0, q1)
 
         # fold steps
         bits = idx_bits
@@ -498,7 +490,7 @@ def verify_proof_circuit(
         xf = _pow_product(b, cur_w, bits, cur_shift)
         acc = G.ext_zero(b)
         for coeff in reversed(pt.final_poly):
-            acc = G.ext_add(b, G.ext_mul_base(b, acc, xf), coeff)
+            acc = G.ext_mul_base_add(b, acc, xf, coeff)
         G.ext_connect(b, acc, cur_value)
 
 
@@ -518,11 +510,12 @@ def _fold_single_circuit(b: CircuitBuilder, coset_values: list[ExtTarget],
         new_vals, new_pts = [], []
         for k in range(half):
             v_plus, v_minus = vals[k], vals[k + half]
-            s = G.ext_mul_const(b, G.ext_add(b, v_plus, v_minus), inv2)
+            # (v+ + v-) * inv2 in one gate op: inv2*(v+ ⊗ 1) + inv2*v-
+            s = G._ae(b, inv2, inv2, v_plus, G._ext_one_t(b), v_minus)
             two_x = b.mul_const(2, pts[k])
             inv_2x = b.inverse(two_x)
             d = G.ext_mul_base(b, G.ext_sub(b, v_plus, v_minus), inv_2x)
-            new_vals.append(G.ext_add(b, s, G.ext_mul(b, bb, d)))
+            new_vals.append(G.ext_mul_add(b, bb, d, s))
             new_pts.append(b.mul(pts[k], pts[k]))
         vals, pts = new_vals, new_pts
         bb = G.ext_mul(b, bb, bb)
