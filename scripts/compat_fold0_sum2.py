@@ -35,8 +35,10 @@ def main():
     ro0 = reduce_pows(list(op.fri_batch0()), alpha)
     ro1 = reduce_pows(list(op.fri_batch1()), alpha)
 
-    K1 = 6533
-    S1 = 6649786511859475384
+    # Corrected level-1 layout (compat_level1_solve + offset decode,
+    # validated 28/28): x_j = (P - S1) * w13^(4485 * rev13(j) mod 8192).
+    K1 = 4485
+    S1 = P - 6649786511859475384
     w13 = gl.primitive_root_of_unity(13)
 
     A, B, V, Y = [], [], [], []

@@ -75,8 +75,22 @@ def _interpolate_at(xs: list[np.ndarray], ys: list[np.ndarray], z: np.ndarray):
     return total
 
 
+def _fork_root_of_unity(common: RefCommonData, bits: int) -> int:
+    """The fork's 2^bits-th root of unity.
+
+    qp-plonky2 replaces Goldilocks' MULTIPLICATIVE_GROUP_GENERATOR (7
+    upstream) with g0 = 14293326489335486720; every derived constant
+    (POWER_OF_TWO_GENERATOR, coset shift, k_is) follows.  Recovered by
+    solving the FRI fold/slot systems on bench-data/proof.bin
+    (scripts/compat_level{0,1}_solve.py + compat_combine_solve.py,
+    validated 28/28 queries at every level); g0 == k_is[1] in common.bin,
+    and g0^16 / g0^256 reproduce the solved level-1/2 coset shifts."""
+    g0 = int(common.k_is[1])
+    return pow(g0, (gl.P_INT - 1) >> bits, gl.P_INT)
+
+
 def verify(common: RefCommonData, verifier_data: RefVerifierData,
-           proof: RefProof) -> None:
+           proof: RefProof, _skip_vanishing: bool = False) -> None:
     fri_cfg = common.fri_config
     cap_len = 1 << fri_cfg.cap_height
     nc = common.num_challenges
@@ -163,7 +177,7 @@ def verify(common: RefCommonData, verifier_data: RefVerifierData,
                                     gle.mul(accs[k + 1], den_prod)))
 
     vanishing_terms = z1_terms + pp_terms + constraint_terms
-    for i in range(nc):
+    for i in ([] if _skip_vanishing else range(nc)):
         alpha_i = gle.from_base(np.uint64(alphas[i]))
         combined = _reduce_with_powers(vanishing_terms, alpha_i)
         quotient = _reduce_with_powers(
@@ -172,7 +186,7 @@ def verify(common: RefCommonData, verifier_data: RefVerifierData,
             raise RefVerificationError(f"vanishing identity failed ({i})")
 
     # ---- FRI ---------------------------------------------------------------
-    g_ext = gle.from_base(np.uint64(gl.primitive_root_of_unity(common.degree_bits)))
+    g_ext = gle.from_base(np.uint64(_fork_root_of_unity(common, common.degree_bits)))
     zeta_next = gle.mul(zeta, g_ext)
     ro0 = _reduce_with_powers(op.fri_batch0(), fri_alpha)
     ro1 = _reduce_with_powers(op.fri_batch1(), fri_alpha)
@@ -189,8 +203,8 @@ def verify(common: RefCommonData, verifier_data: RefVerifierData,
     # instance polynomial counts per oracle (salts excluded)
     inst_widths = [widths[0], widths[1] - salt, widths[2] - salt, widths[3] - salt]
 
-    g_lde = gl.primitive_root_of_unity(lde_bits)
-    shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
+    g_lde = _fork_root_of_unity(common, lde_bits)
+    shift = int(common.k_is[1])   # fork coset shift == its group generator
 
     if fp.final_poly.shape[0] != 1 << (
             common.degree_bits - sum(common.reduction_arity_bits)):
@@ -238,7 +252,7 @@ def verify(common: RefCommonData, verifier_data: RefVerifierData,
             if not np.array_equal(evals[j], old_eval):
                 raise RefVerificationError(f"fold consistency failed (step {si})")
             # interpolate the coset polynomial at beta
-            g_ar = np.uint64(gl.primitive_root_of_unity(arity_bits))
+            g_ar = np.uint64(_fork_root_of_unity(common, arity_bits))
             rev_j = _bit_reverse(j, arity_bits)
             coset_start = gle.mul_base(
                 x, gl.powmod(g_ar, (arity - rev_j) % arity))
