@@ -220,6 +220,95 @@ def _device_quotient_commit_fn(key):
 _device_quotient_commit_fn._common = {}
 
 
+@lru_cache(maxsize=8)
+def _device_zs_commit_fn(key):
+    """Device permutation-argument pipeline: wire values on H (NTT of the
+    committed coefficients) -> nums/dens -> chunk products -> exclusive
+    prefix product (associative scan) -> partial products -> INTT ->
+    (+ salts) -> LDE -> Merkle, one jitted program.  Replaces the host
+    numpy compute_zs_and_partial_products + h2d on the device path
+    (~0.6 s/prove on the tunneled chip).  Bit-exact with the host path
+    (multiplication mod p is associative, so scan order is immaterial)."""
+    import jax
+
+    from ..field import goldilocks as gfd
+    from ..field.goldilocks import GF
+    from ..fri.oracle import _deterministic_salt_polys
+    from ..hash import merkle as merklem
+
+    common, sigmas_np, subgroup_np = _device_zs_commit_fn._ctx[key]
+    cfg = common.config
+    n = common.degree
+    q = common.quotient_degree_factor
+    num_routed = cfg.num_routed_wires
+    assert num_routed % q == 0
+    num_chunks = num_routed // q
+    num_pp = common.num_partial_products
+    blinding = cfg.zero_knowledge
+    salts_np = _deterministic_salt_polys(n, 4) if blinding else None
+    k_np = np.asarray(common.k_is, dtype=np.uint64)
+
+    def bcast(s: GF) -> GF:
+        return GF(s.lo[None, None], s.hi[None, None])
+
+    def row(a: GF, i: int) -> GF:
+        return GF(a.lo[i], a.hi[i])
+
+    def run(wire_coeffs: GF, betas: GF, gammas: GF):
+        import jax.numpy as jnp
+
+        sig = gfd.from_u64(sigmas_np)                      # (80, n) const
+        x = gfd.from_u64(subgroup_np)                      # (n,) const
+        k = gfd.from_u64(k_np)                             # (80,) const
+        wvals = nttm.ntt(GF(wire_coeffs.lo[:num_routed],
+                            wire_coeffs.hi[:num_routed]))  # (80, n)
+        kx = gfd.mul(GF(k.lo[:, None], k.hi[:, None]),
+                     GF(x.lo[None, :], x.hi[None, :]))     # (80, n)
+        polys = []
+        pps_all = []
+        for c in range(cfg.num_challenges):
+            beta = bcast(row(betas, c))
+            gamma = bcast(row(gammas, c))
+            nums = gfd.add(wvals, gfd.add(gfd.mul(kx, beta), gamma))
+            dens = gfd.add(wvals, gfd.add(gfd.mul(sig, beta), gamma))
+            nums = nums.reshape(num_chunks, q, n)
+            dens = dens.reshape(num_chunks, q, n)
+            cn = GF(nums.lo[:, 0], nums.hi[:, 0])
+            cd = GF(dens.lo[:, 0], dens.hi[:, 0])
+            for j in range(1, q):
+                cn = gfd.mul(cn, GF(nums.lo[:, j], nums.hi[:, j]))
+                cd = gfd.mul(cd, GF(dens.lo[:, j], dens.hi[:, j]))
+            ratios = gfd.mul(cn, gfd.inverse(cd))          # (num_chunks, n)
+            total = row(ratios, 0)
+            for t in range(1, num_chunks):
+                total = gfd.mul(total, row(ratios, t))
+            s = jax.lax.associative_scan(gfd.mul, total)   # inclusive (n,)
+            one = gfd.ones(1)
+            z = GF(jnp.concatenate([one.lo, s.lo[:-1]]),
+                   jnp.concatenate([one.hi, s.hi[:-1]]))
+            polys.append(z)
+            p = z
+            pps = []
+            for t in range(num_pp):
+                p = gfd.mul(p, row(ratios, t))
+                pps.append(p)
+            pps_all.extend(pps)
+        values = gfd.stack(polys + pps_all, axis=0)        # (nc + nc*pp, n)
+        coeffs = nttm.intt(values)
+        if blinding:
+            coeffs = gfd.concatenate([coeffs, gfd.from_u64(salts_np)], axis=0)
+        return coeffs
+        # NB: the LDE+Merkle commit is NOT fused here on purpose — it runs
+        # through oracle._device_commit_fn, whose jit (with the Pallas
+        # sponge) is already compiled+cached for this shape by the wires/
+        # quotient paths; fusing it would recompile the sponge per program.
+
+    return jax.jit(run)
+
+
+_device_zs_commit_fn._ctx = {}
+
+
 def compute_quotient_values(common, cs_lde, wires_lde, zsp_lde, x, l1, pi_hash,
                             betas, gammas, alphas, use_device: bool):
     cfg = common.config
@@ -386,11 +475,34 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool | None = None,
     gammas = ch.get_n_challenges(cfg.num_challenges)
 
     # 4. permutation polynomials
-    zsp_values = compute_zs_and_partial_products(common, po, wires, betas, gammas)
-    zsp_commitment = PolynomialBatch.from_values(
-        zsp_values, cfg.rate_bits, cap_h,
-        blinding=cfg.zero_knowledge, use_device=use_device,
-    )
+    if use_device and wires_commitment.coeffs_dev is not None:
+        from ..field import goldilocks as gfd
+        from ..fri.oracle import _device_commit_fn
+
+        zkey = (id(common), common.degree_bits, cfg.zero_knowledge)
+        _device_zs_commit_fn._ctx[zkey] = (
+            common, po.sigmas_values, po.subgroup)
+        zfn = _device_zs_commit_fn(zkey)
+        zs_coeffs_dev = zfn(
+            wires_commitment.coeffs_dev,
+            gfd.from_u64(np.array(betas, dtype=np.uint64)),
+            gfd.from_u64(np.array(gammas, dtype=np.uint64)),
+        )
+        commit_fn = _device_commit_fn(
+            zs_coeffs_dev.lo.shape[0], n, cfg.rate_bits, cap_h)
+        zs_rows, zs_levels = commit_fn(zs_coeffs_dev)
+        zsp_commitment = PolynomialBatch(
+            None, cfg.rate_bits, cfg.zero_knowledge, cap_h,
+            leaves_dev=zs_rows, levels_dev=zs_levels,
+            coeffs_dev=zs_coeffs_dev,
+        )
+    else:
+        zsp_values = compute_zs_and_partial_products(common, po, wires,
+                                                     betas, gammas)
+        zsp_commitment = PolynomialBatch.from_values(
+            zsp_values, cfg.rate_bits, cap_h,
+            blinding=cfg.zero_knowledge, use_device=use_device,
+        )
     ch.observe_cap(zsp_commitment.cap)
     _mark("zs+partial products commit")
     alphas = ch.get_n_challenges(cfg.num_challenges)
