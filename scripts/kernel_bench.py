@@ -36,19 +36,26 @@ def _timed_chain(step, chain, x0, iters=8):
     per-iteration seconds."""
     import jax
 
+    import jax.numpy as jnp
+
     @jax.jit
     def loop(x):
         def body(_, carry):
             return chain(carry, step(carry))
 
         final = jax.lax.fori_loop(0, iters, body, x)
-        return step(final)
+        out = step(final)
+        # Reduce to scalars so the d2h fetch is tiny (a full 2^22 fetch
+        # costs seconds through the tunnel and used to dominate the
+        # numbers) while still data-depending on EVERY output element —
+        # block_until_ready alone is async fiction on this platform
+        # (returned SoL fractions >100%).
+        return jax.tree_util.tree_map(
+            lambda a: jnp.sum(a.astype(jnp.uint32)), out)
 
-    out = loop(x0)
-    jax.tree_util.tree_map(lambda a: jax.device_get(a), out)  # warm
+    jax.tree_util.tree_map(lambda a: jax.device_get(a), loop(x0))  # warm
     t0 = time.perf_counter()
-    out = loop(x0)
-    jax.tree_util.tree_map(lambda a: jax.device_get(a), out)
+    jax.tree_util.tree_map(lambda a: jax.device_get(a), loop(x0))
     return (time.perf_counter() - t0) / (iters + 1)
 
 

@@ -11,6 +11,13 @@ import numpy as np
 import pytest
 
 from test_prover_square import build_square
+
+# Crypto-heavy: the device path's first CPU-backend compile of the fused
+# quotient + zs programs takes tens of minutes per circuit shape on this
+# 2-core box (cached persistently afterwards).  Slow-split per the
+# reference's CI layout (.github/workflows/ci.yml skips such suites in the
+# fast job); bench.py also asserts device/host byte parity on every run.
+pytestmark = pytest.mark.slow
 from zk_circuits_tpu.iop.builder import CircuitBuilder
 from zk_circuits_tpu.iop.witness import PartialWitness
 from zk_circuits_tpu.plonk.config import CircuitConfig
