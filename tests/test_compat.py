@@ -156,7 +156,7 @@ def test_reference_proof_fri_verifies(artifacts):
     from zk_circuits_tpu.compat import verifier as cv
 
     common, vd, proof = artifacts
-    cv.verify(common, vd, proof, _skip_vanishing=True)
+    cv.verify(common, vd, proof, _UNSOUND_skip_vanishing_for_tests=True)
 
 
 def test_reference_proof_fri_rejects_tamper(artifacts):
@@ -170,16 +170,34 @@ def test_reference_proof_fri_rejects_tamper(artifacts):
     bad = copy.deepcopy(proof)
     bad.opening_proof.final_poly[0, 0] ^= np.uint64(1)
     with pytest.raises(cv.RefVerificationError):
-        cv.verify(common, vd, bad, _skip_vanishing=True)
+        cv.verify(common, vd, bad, _UNSOUND_skip_vanishing_for_tests=True)
 
 
-@pytest.mark.xfail(reason="full reference-proof verification WIP: the "
-                   "FRI argument verifies end-to-end (fork generator "
-                   "solved, see NOTES.md); the vanishing-identity gate "
-                   "conventions are the one remaining unknown",
-                   strict=False)
 def test_full_reference_proof_verifies(artifacts):
+    """COMPLETE verification of the reference's own proof bytes
+    (/root/reference/wormhole/bench-data/proof.bin against common.bin +
+    verifier.bin): transcript, PoW, vanishing identity at zeta (all 145
+    alpha-terms incl. the fork's negated ArithmeticGate convention — see
+    compat/gates.py), combine, all FRI folds, Merkle paths, final poly.
+    Matches VerifierCircuitData::verify semantics
+    (/root/reference/wormhole/verifier/src/lib.rs:155-160)."""
     from zk_circuits_tpu.compat import verifier as cv
 
     common, vd, proof = artifacts
     cv.verify(common, vd, proof)
+
+
+def test_full_reference_proof_rejects_tampered_pi(artifacts):
+    """With the vanishing identity closed, a flipped public-input felt must
+    fail full verification (the reference's verifier-negative contract,
+    tests/src/verifier/verifier_tests.rs:49-68)."""
+    import copy
+
+    from zk_circuits_tpu.compat import verifier as cv
+
+    common, vd, proof = artifacts
+    bad = copy.deepcopy(proof)
+    bad.public_inputs = list(bad.public_inputs)
+    bad.public_inputs[0] = int(bad.public_inputs[0]) ^ 1
+    with pytest.raises(cv.RefVerificationError):
+        cv.verify(common, vd, bad)

@@ -58,12 +58,20 @@ def _ext(i: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def eval_arithmetic(gate: RefGate, consts, wires, pi_hash):
+    """qp-plonky2's ArithmeticGate emits ``output - (c0*m0*m1 + c1*addend)``
+    — the NEGATION of upstream plonky2's ``computed - output``.  This single
+    sign flip was the last deviation blocking full reference-proof
+    verification; it was isolated by the round-4 per-gate sign scan
+    (scripts/compat_vanishing_signs.py: unique hit among 128 sign combos,
+    after 184k constraint-order and 10k+ wire-layout variants all failed).
+    Sign conventions are invisible to constraint satisfaction, which is why
+    every other validation (witness, hashes, FRI) could pass without it."""
     c0, c1 = consts[0], consts[1]
     out = []
     for i in range(gate.params["num_ops"]):
         m0, m1, addend, output = wires[4 * i : 4 * i + 4]
         t = gle.add(gle.mul(c0, gle.mul(m0, m1)), gle.mul(c1, addend))
-        out.append(gle.sub(t, output))
+        out.append(gle.sub(output, t))
     return out
 
 

@@ -90,7 +90,7 @@ def _fork_root_of_unity(common: RefCommonData, bits: int) -> int:
 
 
 def verify(common: RefCommonData, verifier_data: RefVerifierData,
-           proof: RefProof, _skip_vanishing: bool = False) -> None:
+           proof: RefProof, _UNSOUND_skip_vanishing_for_tests: bool = False) -> None:
     fri_cfg = common.fri_config
     cap_len = 1 << fri_cfg.cap_height
     nc = common.num_challenges
@@ -177,7 +177,7 @@ def verify(common: RefCommonData, verifier_data: RefVerifierData,
                                     gle.mul(accs[k + 1], den_prod)))
 
     vanishing_terms = z1_terms + pp_terms + constraint_terms
-    for i in ([] if _skip_vanishing else range(nc)):
+    for i in ([] if _UNSOUND_skip_vanishing_for_tests else range(nc)):
         alpha_i = gle.from_base(np.uint64(alphas[i]))
         combined = _reduce_with_powers(vanishing_terms, alpha_i)
         quotient = _reduce_with_powers(

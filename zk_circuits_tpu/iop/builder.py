@@ -298,8 +298,19 @@ class CircuitBuilder:
 
     def _ra_copies(self, bits: int) -> int:
         V = 1 << bits
-        return max(1, min(self.config.num_routed_wires // (V + 2),
-                          self.config.num_wires // (V + 2 + bits)))
+        # A copy needs V+2 routed wires (index, claimed element, V list
+        # entries) plus `bits` unrouted bit wires.  If even one copy does
+        # not fit, fail loudly at build time: silently flooring to 1 copy
+        # would drop list-wire connects at cols >= num_routed_wires from
+        # the permutation argument (a soundness hole).
+        if V + 2 > self.config.num_routed_wires or V + 2 + bits > self.config.num_wires:
+            raise ValueError(
+                f"random_access with {bits} index bits needs {V + 2} routed wires "
+                f"(config has {self.config.num_routed_wires}) and {V + 2 + bits} "
+                f"total wires (config has {self.config.num_wires})"
+            )
+        return min(self.config.num_routed_wires // (V + 2),
+                   self.config.num_wires // (V + 2 + bits))
 
     def random_access(self, index: int, values: list[int]) -> int:
         """values[index] as a routed wire; len(values) must be a power of

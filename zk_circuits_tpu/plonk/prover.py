@@ -157,6 +157,15 @@ def _device_vanishing_eval(common, cs_lde, wires_lde, zsp_lde, x, l1,
     return eval_vanishing(alg, common, vv)
 
 
+def _circuit_key(common, *extra):
+    """Stable cache key for jitted per-circuit programs: the transcript's
+    circuit digest (collision-resistant) + shape bits, NOT id(common) —
+    id() can be reused after gc, silently returning another circuit's
+    compiled program (ADVICE r3)."""
+    return (tuple(int(x) for x in common.circuit_digest),
+            common.degree_bits, *extra)
+
+
 @lru_cache(maxsize=8)
 def _device_quotient_fn(key):
     """jit-compiled coset vanishing evaluation; key = static circuit identity."""
@@ -266,6 +275,7 @@ def _device_zs_commit_fn(key):
                      GF(x.lo[None, :], x.hi[None, :]))     # (80, n)
         polys = []
         pps_all = []
+        finals = []
         for c in range(cfg.num_challenges):
             beta = bcast(row(betas, c))
             gamma = bcast(row(gammas, c))
@@ -283,6 +293,7 @@ def _device_zs_commit_fn(key):
             for t in range(1, num_chunks):
                 total = gfd.mul(total, row(ratios, t))
             s = jax.lax.associative_scan(gfd.mul, total)   # inclusive (n,)
+            finals.append(GF(s.lo[-1:], s.hi[-1:]))
             one = gfd.ones(1)
             z = GF(jnp.concatenate([one.lo, s.lo[:-1]]),
                    jnp.concatenate([one.hi, s.hi[:-1]]))
@@ -297,7 +308,9 @@ def _device_zs_commit_fn(key):
         coeffs = nttm.intt(values)
         if blinding:
             coeffs = gfd.concatenate([coeffs, gfd.from_u64(salts_np)], axis=0)
-        return coeffs
+        # Second output: the closing value of each challenge's running
+        # product — must be 1 for a valid witness (checked host-side).
+        return coeffs, gfd.concatenate(finals, axis=0)
         # NB: the LDE+Merkle commit is NOT fused here on purpose — it runs
         # through oracle._device_commit_fn, whose jit (with the Pallas
         # sponge) is already compiled+cached for this shape by the wires/
@@ -318,11 +331,16 @@ def compute_quotient_values(common, cs_lde, wires_lde, zsp_lde, x, l1, pi_hash,
         def _dev(a):
             return a if isinstance(a, gfd.GF) else gfd.from_u64(a)
 
-        key = (id(common), common.degree_bits)
+        key = _circuit_key(common)
         _device_quotient_fn._common[key] = common
         from ..utils.profiling import stage_timer
 
-        fn = _device_quotient_fn(key)
+        try:
+            fn = _device_quotient_fn(key)
+        finally:
+            # The factory reads _common at compile time only; drop the
+            # entry so this dict never pins circuit data (ADVICE r3).
+            _device_quotient_fn._common.pop(key, None)
         with stage_timer("quotient/device_dispatch"):
             out = fn(
                 _dev(cs_lde),
@@ -479,15 +497,28 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool | None = None,
         from ..field import goldilocks as gfd
         from ..fri.oracle import _device_commit_fn
 
-        zkey = (id(common), common.degree_bits, cfg.zero_knowledge)
+        zkey = _circuit_key(common, cfg.zero_knowledge)
         _device_zs_commit_fn._ctx[zkey] = (
             common, po.sigmas_values, po.subgroup)
-        zfn = _device_zs_commit_fn(zkey)
-        zs_coeffs_dev = zfn(
+        try:
+            zfn = _device_zs_commit_fn(zkey)
+        finally:
+            _device_zs_commit_fn._ctx.pop(zkey, None)
+        zs_coeffs_dev, zs_final = zfn(
             wires_commitment.coeffs_dev,
             gfd.from_u64(np.array(betas, dtype=np.uint64)),
             gfd.from_u64(np.array(gammas, dtype=np.uint64)),
         )
+        if check_witness:
+            # Mirror the host path's permutation-argument validity check
+            # (compute_zs_and_partial_products): the running product over
+            # the whole subgroup must close to 1, else the witness violates
+            # a copy constraint and the proof would be unverifiable.
+            final = gfd.to_u64(zs_final)
+            if not np.all(final == 1):
+                raise ValueError(
+                    "invalid witness: permutation argument does not close "
+                    f"(final running products {final.tolist()} != 1)")
         commit_fn = _device_commit_fn(
             zs_coeffs_dev.lo.shape[0], n, cfg.rate_bits, cap_h)
         zs_rows, zs_levels = commit_fn(zs_coeffs_dev)
@@ -514,9 +545,12 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool | None = None,
         from ..fri.oracle import _deterministic_salt_polys
 
         cs_commit = po.constants_sigmas_commitment.ensure_device()
-        key = (id(common), common.degree_bits, cfg.zero_knowledge)
+        key = _circuit_key(common, cfg.zero_knowledge)
         _device_quotient_commit_fn._common[key] = (common, cfg.zero_knowledge)
-        fn = _device_quotient_commit_fn(key)
+        try:
+            fn = _device_quotient_commit_fn(key)
+        finally:
+            _device_quotient_commit_fn._common.pop(key, None)
         salts = (gfd.from_u64(_deterministic_salt_polys(n, 4))
                  if cfg.zero_knowledge else gfd.zeros((0, n)))
         q_coeffs_dev, q_rows, q_levels = fn(
