@@ -169,8 +169,28 @@ def _device_powers(base: int, n: int) -> GF:
     return GF(jnp.asarray(lo), jnp.asarray(hi))
 
 
+def _use_mxu(n: int, constrain) -> bool:
+    """Route large unsharded NTTs through the MXU matmul kernel on TPU.
+
+    The stage-unrolled butterflies stay in use (a) on CPU — where tests
+    run and the persistent XLA cache holds their compiled programs — and
+    (b) for sharded callers, whose per-stage sharding constraints have no
+    MXU-path equivalent yet.  ZKT_NTT=mxu|stages overrides."""
+    import os
+
+    mode = os.environ.get("ZKT_NTT", "")
+    if mode == "mxu":
+        return n >= 256
+    if mode == "stages":
+        return False
+    import jax
+
+    return constrain is None and n >= 256 and jax.default_backend() != "cpu"
+
+
 def ntt(coeffs: GF, constrain=None) -> GF:
-    """Device NTT along the last axis; stages unrolled at trace time.
+    """Device NTT along the last axis; MXU matmul kernel (ntt_mxu.py) for
+    large sizes on TPU, stage-unrolled butterflies otherwise.
 
     ``constrain`` (optional, fn GF->GF) is applied after the bit-reversal
     and after every butterfly stage — sharded callers pass a
@@ -180,6 +200,10 @@ def ntt(coeffs: GF, constrain=None) -> GF:
     if n == 1:
         return coeffs
     assert n & (n - 1) == 0
+    if _use_mxu(n, constrain):
+        from .ntt_mxu import ntt_mxu
+
+        return ntt_mxu(coeffs)
     rev = _device_bit_reverse(n)
     x = GF(jnp.take(coeffs.lo, rev, axis=-1), jnp.take(coeffs.hi, rev, axis=-1))
     if constrain is not None:
