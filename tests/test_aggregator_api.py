@@ -47,13 +47,66 @@ def test_aggregate_empty_buffer_raises(square):
         agg.aggregate()
 
 
-def test_partial_buffer_requires_dummy(square):
+def test_partial_buffer_auto_pads_via_loader(square):
+    """aggregate() with a short buffer pads automatically — the reference
+    embeds its dummy (util.rs:11-29, aggregator.rs:74-92); non-wormhole
+    inner circuits supply the dummy via dummy_loader."""
+    data, prove = square
+    calls = []
+
+    def loader():
+        calls.append(1)
+        return prove(1)
+
+    agg = WormholeProofAggregator(data.common, data.verifier_only,
+                                  TreeAggregationConfig(2, 2),
+                                  dummy_loader=loader)
+    agg.push(prove(2))
+    root = agg.aggregate()
+    assert calls == [1]
+    assert root.public_inputs.tolist() == [4, 1, 1, 1]
+    agg.root_circuit_data.verify(root)
+
+
+def test_mismatched_dummy_shape_raises(square):
+    import types
+
     data, prove = square
     agg = WormholeProofAggregator(data.common, data.verifier_only,
                                   TreeAggregationConfig(2, 2))
     agg.push(prove(2))
-    with pytest.raises(ValueError, match="dummy"):
-        agg.aggregate()
+    bad_dummy = types.SimpleNamespace(public_inputs=np.zeros(16, np.uint64))
+    with pytest.raises(ValueError, match="dummy proof shape"):
+        agg.aggregate(dummy_proof=bad_dummy)
+
+
+def test_level_circuit_cache_reused(square):
+    """A second aggregation of the same inner circuit must do ZERO Python
+    circuit builds (the cross-call LevelCircuit cache; the reference
+    rebuilds per chunk, tree.rs:111-127)."""
+    from zk_circuits_tpu.aggregation import tree as treem
+
+    data, prove = square
+    cfg = TreeAggregationConfig(2, 1)
+    aggregate_to_tree([prove(2), prove(3)], data.common, data.verifier_only, cfg)
+    n_cached = len(treem._LEVEL_CACHE)
+    builds = []
+    orig_init = treem.LevelCircuit.__init__
+
+    def spy(self, *a, **k):
+        builds.append(1)
+        orig_init(self, *a, **k)
+
+    treem.LevelCircuit.__init__ = spy
+    try:
+        root, root_data = aggregate_to_tree(
+            [prove(6), prove(7)], data.common, data.verifier_only, cfg)
+    finally:
+        treem.LevelCircuit.__init__ = orig_init
+    assert builds == []                      # cache hit, no rebuild
+    assert len(treem._LEVEL_CACHE) == n_cached
+    assert root.public_inputs.tolist() == [36, 49]
+    root_data.verify(root)
 
 
 def test_aggregate_with_dummy_padding(square):

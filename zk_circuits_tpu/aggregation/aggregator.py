@@ -51,11 +51,18 @@ class WormholeProofAggregator:
     """Buffers wormhole proofs and folds them into one recursive proof."""
 
     def __init__(self, inner_common, inner_verifier_only,
-                 config: TreeAggregationConfig | None = None, mesh=None):
+                 config: TreeAggregationConfig | None = None, mesh=None,
+                 dummy_loader=None):
         self.inner_common = inner_common
         self.inner_verifier_only = inner_verifier_only
         self.config = config or TreeAggregationConfig.default()
         self.mesh = mesh  # batch-prove each level's chunks across chips
+        # Padding source when the buffer is short of b^d proofs — the
+        # reference auto-pads from its embedded dummy (util.rs:11-29);
+        # default: the cached wormhole dummy matching the inner config's
+        # zk-ness.  Non-wormhole users (e.g. the square-circuit tests)
+        # pass a loader proving THEIR inner circuit.
+        self.dummy_loader = dummy_loader
         self.proofs: list = []
         self.root_proof = None
         self.root_circuit_data = None
@@ -76,11 +83,18 @@ class WormholeProofAggregator:
         proofs = list(self.proofs)
         if len(proofs) < self.config.num_leaf_proofs:
             if dummy_proof is None:
+                if self.dummy_loader is not None:
+                    dummy_proof = self.dummy_loader()
+                else:
+                    dummy_proof = load_dummy_proof(
+                        zk=self.inner_common.config.zero_knowledge)
+            if (len(dummy_proof.public_inputs)
+                    != len(proofs[0].public_inputs)):
                 raise ValueError(
-                    f"buffer has {len(proofs)} proofs < "
-                    f"{self.config.num_leaf_proofs}; provide dummy_proof "
-                    "padding (reference: embedded dummy_proof.bin)"
-                )
+                    "dummy proof shape does not match the inner circuit "
+                    f"({len(dummy_proof.public_inputs)} public inputs vs "
+                    f"{len(proofs[0].public_inputs)}); pass dummy_proof= "
+                    "or dummy_loader= proving the same circuit")
             proofs += [dummy_proof] * (self.config.num_leaf_proofs - len(proofs))
         self.root_proof, self.root_circuit_data = aggregate_to_tree(
             proofs, self.inner_common, self.inner_verifier_only, self.config,

@@ -170,12 +170,18 @@ def _device_powers(base: int, n: int) -> GF:
 
 
 def _use_mxu(n: int, constrain) -> bool:
-    """Route large unsharded NTTs through the MXU matmul kernel on TPU.
+    """Route LARGE unsharded NTTs through the MXU matmul kernel on TPU.
 
-    The stage-unrolled butterflies stay in use (a) on CPU — where tests
-    run and the persistent XLA cache holds their compiled programs — and
-    (b) for sharded callers, whose per-stage sharding constraints have no
-    MXU-path equivalent yet.  ZKT_NTT=mxu|stages overrides."""
+    Measured crossover (BENCH_KERNELS.md r4, v5e): the MXU kernel is
+    4.9x faster at single-poly 2^22 (131 -> 27 ms) and 2.2x at 2^20, but
+    LOSES on the prover's batched commit shapes (135 x 2^16 LDE: the
+    8-plane limb expansion adds HBM traffic that the well-fused
+    stage-unrolled path doesn't pay), so the threshold is n >= 2^19.
+    The stage-unrolled butterflies also stay in use (a) on CPU — where
+    tests run and the persistent XLA cache holds their compiled
+    programs — and (b) for sharded callers, whose per-stage sharding
+    constraints have no MXU-path equivalent yet.
+    ZKT_NTT=mxu|stages overrides."""
     import os
 
     mode = os.environ.get("ZKT_NTT", "")
@@ -185,7 +191,8 @@ def _use_mxu(n: int, constrain) -> bool:
         return False
     import jax
 
-    return constrain is None and n >= 256 and jax.default_backend() != "cpu"
+    return (constrain is None and n >= (1 << 19)
+            and jax.default_backend() != "cpu")
 
 
 def ntt(coeffs: GF, constrain=None) -> GF:
