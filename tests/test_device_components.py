@@ -54,10 +54,15 @@ def test_device_merkle_levels_match_host():
     assert np.array_equal(host_cap, dev_cap)
 
 
+@pytest.mark.slow
 def test_device_zs_program_matches_host_and_checks_witness():
     """The device permutation-argument program must (a) reproduce the host
     zs+partial-products coefficients bit-exactly and (b) emit closing
-    products == 1 for a valid witness (the ADVICE r3 validity output)."""
+    products == 1 for a valid witness (the ADVICE r3 validity output).
+
+    Slow-marked: the XLA-CPU compile of the zs program (80-column
+    associative scan) takes tens of minutes on this 2-core box; the LDE /
+    MXU-NTT / Merkle component guards above stay in the fast split."""
     from zk_circuits_tpu.iop.builder import CircuitBuilder
     from zk_circuits_tpu.iop.witness import PartialWitness
     from zk_circuits_tpu.plonk.config import CircuitConfig

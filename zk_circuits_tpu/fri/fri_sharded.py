@@ -55,13 +55,6 @@ def _ext_mul(a0, a1, b0, b1):
     return lo, hi
 
 
-def _ext_scale_bcast(a0, a1, s0: int, s1: int):
-    """(a0 + a1 X) * scalar ext const."""
-    b0 = gfd.full(a0.shape, s0)
-    b1 = gfd.full(a0.shape, s1)
-    return _ext_mul(a0, a1, b0, b1)
-
-
 def _coset_ntt_ext_body(c0: GF, c1: GF, shift: int, out_size: int,
                         mesh: Mesh, axis: str):
     """Ext-coefficient coset NTT: scale by shift^k, pad, sharded NTT per
@@ -98,22 +91,6 @@ def _fiber_leaves_body(v0: GF, v1: GF, arity: int, mesh: Mesh, axis: str):
         cols.append(a1)
     leaves = gfd.stack(cols, axis=1)                  # (m, 2*arity)
     return _constrain(leaves, mesh, P(axis, None))
-
-
-def _fold_body(c0: GF, c1: GF, b0s: int, b1s: int, arity_bits: int,
-               mesh: Mesh, axis: str):
-    """Shard-local fold: new_c[g] = sum_j beta^j c[arity*g + j]."""
-    arity = 1 << arity_bits
-    m = c0.shape[-1] // arity
-    r0 = GF(c0.lo.reshape(m, arity), c0.hi.reshape(m, arity))
-    r1 = GF(c1.lo.reshape(m, arity), c1.hi.reshape(m, arity))
-    acc0 = r0[:, arity - 1]
-    acc1 = r1[:, arity - 1]
-    for j in range(arity - 2, -1, -1):
-        acc0, acc1 = _ext_scale_bcast(acc0, acc1, b0s, b1s)
-        acc0 = gfd.add(acc0, r0[:, j])
-        acc1 = gfd.add(acc1, r1[:, j])
-    return (_constrain(acc0, mesh, P(axis)), _constrain(acc1, mesh, P(axis)))
 
 
 @functools.lru_cache(maxsize=None)

@@ -134,49 +134,21 @@ def _gf_dot_matrix(x: GF, n: int) -> GF:
     for a in range(_N_LIMBS):
         for b in range(_N_LIMBS):
             w_planes[a + b] = w_planes[a + b] + prods[a, b]
-    return _recombine_weights(w_planes)
-
-
-def _accum_shifted(planes) -> tuple:
-    """sum_w planes[w] << (8w)  (w < 8, planes < 2^27) as 4 u32 limbs.
-
-    Value < 2^(56+27) = 2^83, so limb 3 only ever holds carries."""
-    zero = jnp.zeros_like(planes[0])
-    limbs = [zero, zero, zero, zero]
-
-    def add_into(i, v):
-        # limbs[i] += v, rippling carries upward (no overflow past limb 3)
-        for j in range(i, 4):
-            s = limbs[j] + v
-            carry = (s < limbs[j]).astype(jnp.uint32)
-            limbs[j] = s
-            if j == 3:
-                break
-            v = carry
-
-    for w, W in enumerate(planes):
-        s = 8 * w
-        li, sh = divmod(s, 32)
-        if sh:
-            add_into(li, W << sh)
-            add_into(li + 1, W >> (32 - sh))
-        else:
-            add_into(li, W)
-    return tuple(limbs)
-
-
-def _recombine_weights(w_planes) -> GF:
-    """sum_w W_w * 2^(8w) mod p via two 128-bit limb accumulations:
-    value = A + 2^64 * B with A = sum_{w<8} W_w 2^(8w) (< 2^83) and
-    B = sum_{w>=8} W_w 2^(8w-64) (< 2^75); then
-    result = reduce(A) + reduce(B) * (2^64 mod p).  ~4x fewer VPU ops
-    than 15 independent mul_const+add reductions."""
-    a_red = gfd._reduce128(*_accum_shifted(w_planes[:_N_LIMBS]))
-    b_red = gfd._reduce128(*_accum_shifted(w_planes[_N_LIMBS:]))
-    # b * (2^64 mod p) = b * (2^32 - 1) = (b << 32) - b
-    zero = jnp.zeros_like(b_red.lo)
-    b_shift = gfd._reduce128(zero, b_red.lo, b_red.hi, zero)
-    return gfd.add(a_red, gfd.sub(b_shift, b_red))
+    # recombine: sum_w W_w * (2^(8w) mod p).  NB: a "cheaper" limb-lane
+    # accumulation (two 128-bit lane sums + three _reduce128) was measured
+    # SLOWER on v5e (2^22 NTT 27 -> 39 ms): its carry-ripple chains
+    # serialize on the VPU, while these 15 independent mul_const+add
+    # reductions pipeline freely.
+    clo, chi = _weight_consts()
+    acc = None
+    for w_idx in range(_N_WEIGHTS):
+        term = gfd.mul(
+            GF(w_planes[w_idx], jnp.zeros_like(w_planes[w_idx])),
+            GF(jnp.full(shape, int(clo[w_idx]), jnp.uint32),
+               jnp.full(shape, int(chi[w_idx]), jnp.uint32)),
+        )
+        acc = term if acc is None else gfd.add(acc, term)
+    return acc
 
 
 # ---------------------------------------------------------------------------
