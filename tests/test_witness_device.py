@@ -1,0 +1,53 @@
+"""Device witness generation vs the host static schedule (bit-exact).
+
+Covers every schedule kind the device program supports (const, arith,
+base_sum, poseidon, eq_inv) on a small circuit; the full wormhole-scale
+parity was validated the same way (host wire matrix == device wire
+matrix) and the on-chip proof-byte parity is asserted by bench.py on
+every run.
+"""
+
+import numpy as np
+
+from zk_circuits_tpu.field import goldilocks as gfd
+from zk_circuits_tpu.iop.builder import CircuitBuilder
+from zk_circuits_tpu.iop.witness import PartialWitness, generate_witness
+from zk_circuits_tpu.iop.witness_device import (generate_witness_device,
+                                                supported)
+from zk_circuits_tpu.plonk.config import CircuitConfig
+
+
+def _circuit():
+    b = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    x = b.add_virtual_target()
+    y = b.mul(x, x)
+    b.range_check(y, 32)
+    eq = b.is_equal(x, y)
+    t = eq.target if hasattr(eq, "target") else eq
+    b.hash_n_to_hash_no_pad([x, y, t])
+    b.register_public_input(y)
+    return b.build(), x
+
+
+def test_device_witness_matches_host():
+    data, x = _circuit()
+    assert supported(data)
+    pw = PartialWitness()
+    pw.set_target(x, 7)
+    host_w, host_pi = generate_witness(data, pw)
+    pw2 = PartialWitness()
+    pw2.set_target(x, 7)
+    dev_w, dev_pi = generate_witness_device(data, pw2)
+    assert np.array_equal(host_pi, dev_pi)
+    assert np.array_equal(host_w, gfd.to_u64(dev_w))
+
+
+def test_recursion_schedules_fall_back():
+    """Circuits with extension/random-access generators are out of the
+    device program's scope and must report unsupported."""
+    b = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    a = b.add_virtual_target()
+    c = b.add_virtual_target()
+    b.arithmetic_extension(1, 1, (a, c), (a, c), (a, c))
+    data = b.build()
+    assert not supported(data)

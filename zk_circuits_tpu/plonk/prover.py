@@ -230,6 +230,27 @@ _device_quotient_commit_fn._common = {}
 
 
 @lru_cache(maxsize=8)
+def _device_wires_coeffs_fn(num_polys: int, n: int, blinding: bool):
+    """values (num_polys, n) on device -> coefficients (+ deterministic
+    salt polys when blinding); the LDE+Merkle commit then reuses the
+    already-compiled oracle._device_commit_fn for this shape."""
+    import jax
+
+    from ..field import goldilocks as gfd
+    from ..fri.oracle import _deterministic_salt_polys
+
+    salts_np = _deterministic_salt_polys(n, 4) if blinding else None
+
+    def run(values_t: "gfd.GF"):
+        coeffs = nttm.intt(values_t)
+        if salts_np is not None:
+            coeffs = gfd.concatenate([coeffs, gfd.from_u64(salts_np)], axis=0)
+        return coeffs
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=8)
 def _device_zs_commit_fn(key):
     """Device permutation-argument pipeline: wire values on H (NTT of the
     committed coefficients) -> nums/dens -> chunk products -> exclusive
@@ -470,18 +491,42 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool | None = None,
         use_device = _default_use_device(common)
     _log_prove_path(common, use_device)
 
-    # 1. witness
-    wires, public_inputs = generate_witness(circuit_data, pw)
+    # 1. witness — on DEVICE when the schedule supports it and constraint
+    # re-checking is off (the default; mirrors the reference's production
+    # prove()).  Kills both the host numpy passes and the ~9 MB wire-matrix
+    # h2d (BENCH_STAGES_WARM r4: together ~0.8 s of the 2.1 s warm prove).
+    wires_dev = None
+    if use_device and not check_witness:
+        from ..iop import witness_device as wdev
+
+        if wdev.supported(circuit_data):
+            wires_dev, public_inputs = wdev.generate_witness_device(
+                circuit_data, pw)
+    if wires_dev is None:
+        wires, public_inputs = generate_witness(circuit_data, pw)
     pi_hash = hposeidon.hash_no_pad(public_inputs) if len(public_inputs) else np.zeros(4, np.uint64)
     if check_witness:
         check_constraints_on_h(common, po, wires, pi_hash)
     _mark("witness+check")
 
     # 2. commit wires
-    wires_commitment = PolynomialBatch.from_values(
-        np.ascontiguousarray(wires.T), cfg.rate_bits, cap_h,
-        blinding=cfg.zero_knowledge, use_device=use_device,
-    )
+    if wires_dev is not None:
+        from ..field import goldilocks as gfd
+        from ..fri.oracle import _device_commit_fn
+
+        cfn = _device_wires_coeffs_fn(cfg.num_wires, n, cfg.zero_knowledge)
+        coeffs_dev = cfn(gfd.GF(wires_dev.lo.T, wires_dev.hi.T))
+        commit_fn = _device_commit_fn(
+            coeffs_dev.lo.shape[0], n, cfg.rate_bits, cap_h)
+        rows_d, levels_d = commit_fn(coeffs_dev)
+        wires_commitment = PolynomialBatch(
+            None, cfg.rate_bits, cfg.zero_knowledge, cap_h,
+            leaves_dev=rows_d, levels_dev=levels_d, coeffs_dev=coeffs_dev)
+    else:
+        wires_commitment = PolynomialBatch.from_values(
+            np.ascontiguousarray(wires.T), cfg.rate_bits, cap_h,
+            blinding=cfg.zero_knowledge, use_device=use_device,
+        )
 
     # 3. challenges: betas, gammas
     ch = Challenger()
