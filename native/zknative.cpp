@@ -168,7 +168,14 @@ static inline void hash_no_pad_one(const u64* in, int64_t len, u64* out4) {
 extern "C" {
 
 // In-place permutation of n states, each 12 consecutive u64.
+// Small batches run serial: an OpenMP parallel region costs ~2 ms in
+// thread wake/sync on this host, which dominated the Fiat-Shamir
+// challenger's one-state-at-a-time calls (round-4 finding).
 void zkn_poseidon_permute(u64* states, int64_t n) {
+    if (n < 16) {
+        for (int64_t s = 0; s < n; s++) permute_one(states + s * POSEIDON_WIDTH);
+        return;
+    }
 #pragma omp parallel for schedule(static)
     for (int64_t s = 0; s < n; s++) permute_one(states + s * POSEIDON_WIDTH);
 }
