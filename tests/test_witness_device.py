@@ -42,12 +42,36 @@ def test_device_witness_matches_host():
     assert np.array_equal(host_w, gfd.to_u64(dev_w))
 
 
-def test_recursion_schedules_fall_back():
-    """Circuits with extension/random-access generators are out of the
-    device program's scope and must report unsupported."""
+def test_recursion_kind_witness_matches_host():
+    """Extension arithmetic + random-access generator kinds (the recursion
+    circuits' extra vocabulary) must also match the host schedule."""
     b = CircuitBuilder(CircuitConfig.standard_recursion_config())
     a = b.add_virtual_target()
     c = b.add_virtual_target()
-    b.arithmetic_extension(1, 1, (a, c), (a, c), (a, c))
+    o = b.arithmetic_extension(3, 5, (a, c), (c, a), (a, a))
+    o2 = b.arithmetic_extension(1, 1, o, (a, c), o)
+    idx = b.add_virtual_target()
+    vals = [b.add_virtual_target() for _ in range(4)]
+    picked = b.random_access(idx, vals)
+    b.register_public_input(picked)
+    b.register_public_inputs(list(o2))
     data = b.build()
-    assert not supported(data)
+    assert supported(data)
+    for seed_idx, seed_vals in ((2, (7, 9, 100, 200, 300, 400)),
+                                (0, (1, 2, 3, 4, 5, 6))):
+        pw = PartialWitness()
+        pw.set_target(a, seed_vals[0])
+        pw.set_target(c, seed_vals[1])
+        pw.set_target(idx, seed_idx)
+        for t, v in zip(vals, seed_vals[2:]):
+            pw.set_target(t, v)
+        host_w, host_pi = generate_witness(data, pw)
+        pw2 = PartialWitness()
+        pw2.set_target(a, seed_vals[0])
+        pw2.set_target(c, seed_vals[1])
+        pw2.set_target(idx, seed_idx)
+        for t, v in zip(vals, seed_vals[2:]):
+            pw2.set_target(t, v)
+        dev_w, dev_pi = generate_witness_device(data, pw2)
+        assert np.array_equal(host_pi, dev_pi)
+        assert np.array_equal(host_w, gfd.to_u64(dev_w))

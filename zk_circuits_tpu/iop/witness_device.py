@@ -31,7 +31,15 @@ from ..field.goldilocks import GF
 from ..hash.constants import HALF_N_FULL_ROUNDS, N_PARTIAL_ROUNDS, WIDTH
 from ..iop.gates import PoseidonGate
 
-_SUPPORTED = {"const", "arith", "base_sum", "poseidon", "eq_inv"}
+_SUPPORTED = {"const", "arith", "base_sum", "poseidon", "eq_inv",
+              "arith_ext", "ext_inv", "random_access"}
+
+
+def _ext_mul_dev(a0: GF, a1: GF, b0: GF, b1: GF):
+    """GF(p^2) multiply on component pairs (X^2 = 7)."""
+    lo = gfd.add(gfd.mul(a0, b0), gfd.mul_const(gfd.mul(a1, b1), 7))
+    hi = gfd.add(gfd.mul(a0, b1), gfd.mul(a1, b0))
+    return lo, hi
 
 
 def supported(circuit_data) -> bool:
@@ -186,6 +194,46 @@ def _witness_fn(key):
                 x = values[d["in_reps"]]
                 inv = gfd.inverse(x)      # inverse(0) == 0
                 values = set_reps(values, d["out_reps"], inv)
+            elif batch.kind == "arith_ext":
+                ir = d["in_reps"]         # (m, 6): m0(2) m1(2) addend(2)
+                m0l, m0h = values[ir[:, 0]], values[ir[:, 1]]
+                m1l, m1h = values[ir[:, 2]], values[ir[:, 3]]
+                adl, adh = values[ir[:, 4]], values[ir[:, 5]]
+                c0 = gfd.from_u64(np.asarray(d["c0"], dtype=np.uint64))
+                c1 = gfd.from_u64(np.asarray(d["c1"], dtype=np.uint64))
+                pl, ph = _ext_mul_dev(m0l, m0h, m1l, m1h)
+                outl = gfd.add(gfd.mul(pl, c0), gfd.mul(adl, c1))
+                outh = gfd.add(gfd.mul(ph, c0), gfd.mul(adh, c1))
+                out = gfd.stack([outl, outh], axis=-1)   # (m, 2)
+                values = set_reps(values, d["out_reps"], out)
+                wires = write_wires(wires, d, out)
+            elif batch.kind == "ext_inv":
+                ir = d["in_reps"]         # (m, 2)
+                a0, a1 = values[ir[:, 0]], values[ir[:, 1]]
+                # 1/(a0 + a1 X) = (a0 - a1 X) / (a0^2 - 7 a1^2)
+                norm = gfd.sub(gfd.mul(a0, a0),
+                               gfd.mul_const(gfd.mul(a1, a1), 7))
+                ninv = gfd.inverse(norm)
+                il = gfd.mul(a0, ninv)
+                ih = gfd.mul(gfd.sub(gfd.zeros(a1.shape), a1), ninv)
+                values = set_reps(values, d["out_reps"],
+                                  gfd.stack([il, ih], axis=-1))
+            elif batch.kind == "random_access":
+                ir = d["in_reps"]         # (m, 1 + V): index + list
+                idx_gf = values[ir[:, 0]]
+                idx = idx_gf.lo.astype(jnp.int32)   # indices < 2^bits < 2^32
+                lists = values[ir[:, 1:]]
+                claimed = GF(
+                    jnp.take_along_axis(lists.lo, idx[:, None], 1)[:, 0],
+                    jnp.take_along_axis(lists.hi, idx[:, None], 1)[:, 0])
+                nbits = d["num_bits"]
+                cols = [claimed]
+                for k in range(nbits):
+                    b = (idx_gf.lo >> np.uint32(k)) & np.uint32(1)
+                    cols.append(GF(b, jnp.zeros_like(b)))
+                out = gfd.stack(cols, axis=-1)
+                values = set_reps(values, d["out_reps"], out)
+                wires = write_wires(wires, d, out)
             else:
                 raise ValueError(batch.kind)
 
