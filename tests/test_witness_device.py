@@ -56,7 +56,12 @@ def test_recursion_kind_witness_matches_host():
     b.register_public_input(picked)
     b.register_public_inputs(list(o2))
     data = b.build()
-    assert supported(data)
+    import os
+    os.environ["ZKT_DEVICE_WITNESS_EXT"] = "1"
+    try:
+        assert supported(data)
+    finally:
+        pass
     for seed_idx, seed_vals in ((2, (7, 9, 100, 200, 300, 400)),
                                 (0, (1, 2, 3, 4, 5, 6))):
         pw = PartialWitness()
@@ -75,3 +80,5 @@ def test_recursion_kind_witness_matches_host():
         dev_w, dev_pi = generate_witness_device(data, pw2)
         assert np.array_equal(host_pi, dev_pi)
         assert np.array_equal(host_w, gfd.to_u64(dev_w))
+    os.environ.pop("ZKT_DEVICE_WITNESS_EXT", None)
+    assert not supported(data)   # ext kinds are opt-in (compiler OOM note)
