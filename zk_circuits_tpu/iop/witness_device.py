@@ -260,8 +260,12 @@ def _witness_fn(key):
 _witness_fn._ctx = {}
 
 
-def generate_witness_device(circuit_data, pw):
-    """Device witness: returns (wires_dev GF (n, W), public_inputs np (P,)).
+def generate_witness_device(circuit_data, pw, fetch_pis: bool = True):
+    """Device witness: returns (wires_dev GF (n, W), public_inputs).
+
+    public_inputs is numpy when ``fetch_pis`` (default), else the device
+    GF — callers that dispatch further device work first can overlap the
+    d2h fetch with it (plonk/prover.py does).
 
     The jit program is keyed on (circuit digest, seeded-rep set) — the
     wormhole/voting APIs seed the same target set every prove."""
@@ -285,4 +289,4 @@ def generate_witness_device(circuit_data, pw):
     finally:
         _witness_fn._ctx.pop(key, None)
     wires_dev, pis_dev = fn(gfd.from_u64(seed_vals))
-    return wires_dev, gfd.to_u64(pis_dev)
+    return wires_dev, (gfd.to_u64(pis_dev) if fetch_pis else pis_dev)

@@ -495,18 +495,19 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool | None = None,
     # re-checking is off (the default; mirrors the reference's production
     # prove()).  Kills both the host numpy passes and the ~9 MB wire-matrix
     # h2d (BENCH_STAGES_WARM r4: together ~0.8 s of the 2.1 s warm prove).
-    wires_dev = None
+    wires_dev = pis_dev = None
     if use_device and not check_witness:
         from ..iop import witness_device as wdev
 
         if wdev.supported(circuit_data):
-            wires_dev, public_inputs = wdev.generate_witness_device(
-                circuit_data, pw)
+            wires_dev, pis_dev = wdev.generate_witness_device(
+                circuit_data, pw, fetch_pis=False)
     if wires_dev is None:
         wires, public_inputs = generate_witness(circuit_data, pw)
-    pi_hash = hposeidon.hash_no_pad(public_inputs) if len(public_inputs) else np.zeros(4, np.uint64)
-    if check_witness:
-        check_constraints_on_h(common, po, wires, pi_hash)
+        pi_hash = (hposeidon.hash_no_pad(public_inputs)
+                   if len(public_inputs) else np.zeros(4, np.uint64))
+        if check_witness:
+            check_constraints_on_h(common, po, wires, pi_hash)
     _mark("witness+check")
 
     # 2. commit wires
@@ -519,6 +520,10 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool | None = None,
         commit_fn = _device_commit_fn(
             coeffs_dev.lo.shape[0], n, cfg.rate_bits, cap_h)
         rows_d, levels_d = commit_fn(coeffs_dev)
+        # fetch the PIs only now — the d2h overlaps the commit dispatch
+        public_inputs = gfd.to_u64(pis_dev)
+        pi_hash = (hposeidon.hash_no_pad(public_inputs)
+                   if len(public_inputs) else np.zeros(4, np.uint64))
         wires_commitment = PolynomialBatch(
             None, cfg.rate_bits, cfg.zero_knowledge, cap_h,
             leaves_dev=rows_d, levels_dev=levels_d, coeffs_dev=coeffs_dev)
