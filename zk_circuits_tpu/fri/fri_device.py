@@ -346,12 +346,19 @@ def open_and_fri_device(common, oracles, ch) -> tuple:
     widths = tuple(s.lo.shape[0] for s in sets)
 
     with stage_timer("fri/openings_eval"):
-        zpow = ext_powers(zeta, n)
-        zpow_next = ext_powers(zeta_next, n)
-        fn = _openings_fn(widths, n, num_zs)
-        e0, e1, zn0, zn1 = fn(sets, *_ext_pair(zpow), *_ext_pair(zpow_next))
-        evals = _to_ext(e0, e1)          # (K, 2)
-        zs_next = _to_ext(zn0, zn1)      # (num_zs, 2)
+        # Sub-timers so the warm profile localizes this stage's cost
+        # (host power tables vs h2d+dispatch vs the serializing d2h that
+        # the Fiat-Shamir transcript forces before alpha can be drawn).
+        with stage_timer("fri/openings_eval/powers_host"):
+            zpow = ext_powers(zeta, n)
+            zpow_next = ext_powers(zeta_next, n)
+            args = (*_ext_pair(zpow), *_ext_pair(zpow_next))
+        with stage_timer("fri/openings_eval/dispatch"):
+            fn = _openings_fn(widths, n, num_zs)
+            e0, e1, zn0, zn1 = fn(sets, *args)
+        with stage_timer("fri/openings_eval/fetch"):
+            evals = _to_ext(e0, e1)          # (K, 2)
+            zs_next = _to_ext(zn0, zn1)      # (num_zs, 2)
     k0, k1, k2, k3 = widths
     openings = OpeningSet(
         constants_sigmas=evals[:k0],
