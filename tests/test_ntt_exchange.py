@@ -67,6 +67,22 @@ def test_rdma_exchange_kernel_interpret(mesh8):
     np.testing.assert_array_equal(out, np.swapaxes(x, 0, 1))
 
 
+def test_four_step_rdma_ntt_small_mesh(mesh8):
+    """Composed four-step with the RDMA exchange impl at a 2-device mesh
+    (ADVICE r4): covers the lo/hi packing in _exchange_gf UNDER the Pallas
+    kernel — plus the three distinct collective_ids and the start barrier —
+    in the default suite (~2 s; the 8-device composed variant below stays
+    slow-marked)."""
+    mesh2 = Mesh(np.array(jax.devices()[:2]), ("x",))
+    n = 16
+    rng = np.random.default_rng(15)
+    x = rng.integers(0, gl.P_INT, size=n, dtype=np.uint64)
+    out = gfd.to_u64(
+        nx.ntt_sharded_pallas(gfd.from_u64(x), mesh2, impl="pallas",
+                              interpret=True))
+    np.testing.assert_array_equal(out, nttm.host_ntt(x.copy()))
+
+
 @pytest.mark.slow
 def test_four_step_rdma_ntt_matches_host(mesh8):
     """Full four-step NTT with ALL THREE stage exchanges running as the

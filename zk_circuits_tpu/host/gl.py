@@ -14,8 +14,23 @@ from __future__ import annotations
 
 import numpy as np
 
-# Unsigned wraparound is intentional throughout this module.
+# Unsigned wraparound is intentional throughout this module.  np.seterr is
+# thread-local, so the import-time setting does NOT cover worker threads
+# (prove_batch's host pool) — the wrapping functions below additionally use
+# explicit np.errstate contexts.
 _ERR = np.seterr(over="ignore")
+
+
+def _ignore_overflow(fn):
+    """Per-call errstate guard: u64 wraparound in this function is by design."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with np.errstate(over="ignore"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 P = np.uint64(2**64 - 2**32 + 1)
 P_INT = 2**64 - 2**32 + 1
@@ -49,6 +64,7 @@ def add(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return _add_np(a, b)
 
 
+@_ignore_overflow
 def _add_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     s = a + b  # wraps mod 2^64
     over = s < a
@@ -57,6 +73,7 @@ def _add_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.where(s >= P, s - P, s)
 
 
+@_ignore_overflow
 def sub(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     d = a - b
     under = a < b
@@ -67,6 +84,7 @@ def neg(a: np.ndarray) -> np.ndarray:
     return np.where(a == 0, a, P - a)
 
 
+@_ignore_overflow
 def _reduce128(x_lo: np.ndarray, x_hi: np.ndarray) -> np.ndarray:
     """Reduce a 128-bit value (x_lo + x_hi * 2^64) mod p, canonical output."""
     x_hi_hi = x_hi >> _U32
@@ -100,6 +118,7 @@ def mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return _mul_np(a, b)
 
 
+@_ignore_overflow
 def _mul_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     a0 = a & MASK32
     a1 = a >> _U32

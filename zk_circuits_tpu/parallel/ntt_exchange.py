@@ -55,6 +55,21 @@ def _exchange_kernel(n_dev: int, axis: str):
 
     def kernel(x_ref, out_ref, send_sem, recv_sem, copy_sem):
         my_id = jax.lax.axis_index(axis)
+        # Start-of-kernel barrier (ADVICE r4): on real hardware devices
+        # enter the kernel at different times, and an early device's RDMA
+        # must not land in out_ref memory a late device is still using for
+        # a prior XLA op (buffer reuse).  Signal every peer we exchange
+        # with on the collective barrier semaphore (scoped by this call's
+        # collective_id), then wait until all n_dev-1 peers signalled us.
+        barrier_sem = pltpu.get_barrier_semaphore()
+        for s in range(1, n_dev):
+            pltpu.semaphore_signal(
+                barrier_sem,
+                inc=1,
+                device_id=jax.lax.rem(my_id + s, n_dev),
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+        pltpu.semaphore_wait(barrier_sem, n_dev - 1)
         # Own block: local DMA, overlapped with the remote sends below.
         local = pltpu.make_async_copy(
             x_ref.at[my_id], out_ref.at[my_id], copy_sem)
@@ -92,7 +107,8 @@ def _interpret_params(interpret: bool):
 
 
 def all_to_all_blocks(x: jnp.ndarray, mesh: Mesh, axis: str,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      collective_id: int = 0) -> jnp.ndarray:
     """Global ``(E, E, B)`` uint32 tensor, axis 0 sharded over ``axis``;
     returns the block transpose (swap of the two leading axes) computed by
     the RDMA exchange kernel.  Call from OUTSIDE shard_map."""
@@ -111,7 +127,8 @@ def all_to_all_blocks(x: jnp.ndarray, mesh: Mesh, axis: str,
                 pltpu.SemaphoreType.DMA((n_dev - 1,)),
                 pltpu.SemaphoreType.DMA,
             ],
-            compiler_params=pltpu.CompilerParams(collective_id=0),
+            compiler_params=pltpu.CompilerParams(
+                collective_id=collective_id),
             interpret=_interpret_params(interpret),
         )(xl[0])
         return out[None]
@@ -122,7 +139,7 @@ def all_to_all_blocks(x: jnp.ndarray, mesh: Mesh, axis: str,
 
 
 def _exchange_gf(xl: GF, n_dev: int, axis: str, interpret: bool,
-                 impl: str = "pallas") -> GF:
+                 impl: str = "pallas", collective_id: int = 0) -> GF:
     """Local-view all-to-all of a GF block matrix: xl is the LOCAL
     ``(E, B)`` limb pair inside shard_map; returns local (E, B) with
     out[s] = x_s[d].  lo/hi are packed into one (E, 2B) buffer so the
@@ -148,7 +165,8 @@ def _exchange_gf(xl: GF, n_dev: int, axis: str, interpret: bool,
                 pltpu.SemaphoreType.DMA((n_dev - 1,)),
                 pltpu.SemaphoreType.DMA,
             ],
-            compiler_params=pltpu.CompilerParams(collective_id=0),
+            compiler_params=pltpu.CompilerParams(
+                collective_id=collective_id),
             interpret=_interpret_params(interpret),
         )(packed)
     b = xl.lo.shape[-1]
@@ -173,7 +191,8 @@ def _four_step_local(xl: GF, n: int, n_dev: int, axis: str, inverse: bool,
     a = xl.reshape(m)                       # A[d, :] of the (E, m) matrix
     # --- exchange 1: bring the device axis local ------------------------
     blocks = a.reshape(n_dev, bm)           # block t = A[d, t·bm:(t+1)·bm]
-    r = _exchange_gf(blocks, n_dev, axis, interpret, impl)   # r[s] = A[s, d-slice]
+    r = _exchange_gf(blocks, n_dev, axis, interpret, impl,
+                     collective_id=0)   # r[s] = A[s, d-slice]
     at = GF(r.lo.T, r.hi.T)                 # (bm, E): rows d·bm.. of Aᵀ
     # --- small cross-device DFT (now a purely local matmul) -------------
     cols = []
@@ -184,7 +203,8 @@ def _four_step_local(xl: GF, n: int, n_dev: int, axis: str, inverse: bool,
         cols.append(acc)
     y_t = gfd.stack(cols, axis=1)           # (bm, E): rows d·bm.. of yᵀ
     # --- exchange 2: back to row layout y[d, :] -------------------------
-    r2 = _exchange_gf(GF(y_t.lo.T, y_t.hi.T), n_dev, axis, interpret, impl)
+    r2 = _exchange_gf(GF(y_t.lo.T, y_t.hi.T), n_dev, axis, interpret, impl,
+                      collective_id=1)
     y = r2.reshape(m)                       # y[d, :]  (r2[s] = yᵀ[s-slice,d]ᵀ)
     # --- local twiddle + length-m row NTT -------------------------------
     twd = gfd.from_u64(tw)
@@ -196,7 +216,8 @@ def _four_step_local(xl: GF, n: int, n_dev: int, axis: str, inverse: bool,
         big = GF(jnp.take(big.lo, ridx, axis=-1),
                  jnp.take(big.hi, ridx, axis=-1))
     # --- exchange 3: final transpose X[t1 + E·t2] = Z[t1, t2] -----------
-    r3 = _exchange_gf(big.reshape(n_dev, bm), n_dev, axis, interpret, impl)
+    r3 = _exchange_gf(big.reshape(n_dev, bm), n_dev, axis, interpret, impl,
+                      collective_id=2)
     # r3[t1] = Z[t1, d·bm:(d+1)·bm]; interleave to t1-minor order.
     out = GF(r3.lo.T.reshape(m), r3.hi.T.reshape(m))
     return out.reshape(1, m)
