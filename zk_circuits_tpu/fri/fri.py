@@ -196,6 +196,93 @@ def _device_grind(pow_base: np.ndarray, threshold: np.uint64) -> int:
             return _host_grind(pow_base, threshold, start)
 
 
+def _device_grind_batch_fn(B: int):
+    import jax
+    import jax.numpy as jnp
+
+    from ..field import goldilocks as gfd
+    from ..hash import poseidon as dposeidon
+    from ..hash import poseidon_pallas as pp
+
+    if B not in _device_grind_batch_fn._cache:
+        batch = _DEVICE_GRIND_BATCH
+        use_pallas = jax.default_backend() == "tpu"
+
+        def run(bases: gfd.GF, start_lo, thr_lo, thr_hi):
+            # bases: (B, 4); sweep the same witness window for every base
+            # in ONE dispatch (B*batch hashes).
+            ws_lo = start_lo + jnp.arange(batch, dtype=jnp.uint32)
+            lo = jnp.concatenate(
+                [jnp.broadcast_to(bases.lo[:, None, :], (B, batch, 4)),
+                 jnp.broadcast_to(ws_lo[None, :, None], (B, batch, 1))],
+                axis=-1).reshape(B * batch, 5)
+            hi = jnp.concatenate(
+                [jnp.broadcast_to(bases.hi[:, None, :], (B, batch, 4)),
+                 jnp.zeros((B, batch, 1), jnp.uint32)],
+                axis=-1).reshape(B * batch, 5)
+            inp = gfd.GF(lo, hi)
+            h = (pp.hash_leaves(inp, interpret=False) if use_pallas
+                 else dposeidon.batch_hash_no_pad(inp))
+            h0_lo = h.lo[:, 0].reshape(B, batch)
+            h0_hi = h.hi[:, 0].reshape(B, batch)
+            ok = (h0_hi < thr_hi) | ((h0_hi == thr_hi) & (h0_lo < thr_lo))
+            idx = jnp.argmax(ok, axis=1)          # first hit per base
+            found = jnp.take_along_axis(ok, idx[:, None], 1)[:, 0]
+            return found, idx
+
+        _device_grind_batch_fn._cache[B] = jax.jit(run)
+    return _device_grind_batch_fn._cache[B]
+
+
+_device_grind_batch_fn._cache = {}
+
+
+def proof_of_work_grind_batch(pow_bases: np.ndarray,
+                              pow_bits: int) -> list[int]:
+    """Grind B independent PoW witnesses (one per proof of a batch).  On
+    the TPU backend all B bases share each sweep dispatch (B*2^17 hashes
+    per round trip) — the per-proof minimal-witness semantics of
+    `proof_of_work_grind` are preserved because every base scans the same
+    windows from 0 upward."""
+    import os
+
+    pow_bases = np.asarray(pow_bases, dtype=np.uint64).reshape(-1, 4)
+    threshold = np.uint64(1 << (64 - pow_bits))
+    use_device = os.environ.get("ZKT_DEVICE_GRIND")
+    if not use_device and not os.environ.get("ZKT_HOST_GRIND"):
+        import jax
+
+        use_device = jax.default_backend() == "tpu"
+    if not use_device:
+        return [_host_grind(b, threshold, 0) for b in pow_bases]
+
+    import jax.numpy as jnp
+
+    from ..field import goldilocks as gfd
+
+    B = pow_bases.shape[0]
+    fn = _device_grind_batch_fn(B)
+    bases = gfd.from_u64(pow_bases)
+    thr_lo = jnp.uint32(int(threshold) & 0xFFFFFFFF)
+    thr_hi = jnp.uint32(int(threshold) >> 32)
+    out: list[int | None] = [None] * B
+    start = 0
+    while any(w is None for w in out):
+        if start >= 1 << 31:  # unreachable for sane pow_bits
+            for b in range(B):
+                if out[b] is None:
+                    out[b] = _host_grind(pow_bases[b], threshold, start)
+            break
+        found, idx = fn(bases, jnp.uint32(start), thr_lo, thr_hi)
+        found = np.asarray(found)
+        idx = np.asarray(idx)
+        for b in range(B):
+            if out[b] is None and bool(found[b]):
+                out[b] = start + int(idx[b])
+        start += _DEVICE_GRIND_BATCH
+    return out  # type: ignore[return-value]
+
+
 def _host_grind(pow_base: np.ndarray, threshold: np.uint64, start: int) -> int:
     batch = 1 << 15
     while True:

@@ -155,11 +155,7 @@ def _fold_dev(c0: GF, c1: GF, b0: GF, b1: GF, arity_bits: int) -> tuple[GF, GF]:
 # ---------------------------------------------------------------------------
 
 
-@lru_cache(maxsize=16)
-def _openings_fn(widths: tuple, n: int, num_zs: int):
-    """Evaluate all oracle polys at zeta (+ the Z polys at g*zeta)."""
-    import jax
-
+def _make_openings_run(num_zs: int):
     def run(sets, zp0, zp1, znp0, znp1):
         batch = gfd.concatenate(list(sets), axis=0)
         e0 = gfd.sum_mod(gfd.mul(batch, GF(zp0.lo[None, :], zp0.hi[None, :])), axis=-1)
@@ -170,15 +166,34 @@ def _openings_fn(widths: tuple, n: int, num_zs: int):
         zn1 = gfd.sum_mod(gfd.mul(zs2, GF(znp1.lo[None, :], znp1.hi[None, :])), axis=-1)
         return e0, e1, zn0, zn1
 
-    return jax.jit(run)
+    return run
 
 
 @lru_cache(maxsize=16)
-def _compose_round0_fn(total_polys: int, n: int, num_zs: int, rate_bits: int,
-                       arity_bits: int, cap_height: int, coset_shift: int):
+def _openings_fn(widths: tuple, n: int, num_zs: int):
+    """Evaluate all oracle polys at zeta (+ the Z polys at g*zeta)."""
     import jax
 
-    lde_size = n << rate_bits
+    return jax.jit(_make_openings_run(num_zs))
+
+
+@lru_cache(maxsize=16)
+def _openings_batch_fn(widths: tuple, n: int, num_zs: int, B: int,
+                       shared0: bool):
+    """Batched openings: proof axis leading everywhere except oracle 0
+    (constants/sigmas — circuit-constant, shared across the batch when
+    ``shared0``)."""
+    import jax
+
+    sets_axes = (None if shared0 else 0,) + (0,) * 3
+    return jax.jit(jax.vmap(_make_openings_run(num_zs),
+                            in_axes=(sets_axes, 0, 0, 0, 0)))
+
+
+def _make_compose_run(num_zs: int, round0: tuple | None):
+    """Composition-quotient body; with ``round0`` = (rate_bits, arity_bits,
+    cap_height, coset_shift, lde_size) it additionally NTTs and commits the
+    round-0 codeword."""
 
     def run(sets, ap0, ap1, zp0, zp1, zi0, zi1,
             azp0, azp1, anp0, anp1, ani0, ani1, sp0, sp1):
@@ -197,12 +212,25 @@ def _compose_round0_fn(total_polys: int, n: int, num_zs: int, rate_bits: int,
         pad = [(0, 1)]
         f0 = GF(jnp.pad(f0.lo, pad), jnp.pad(f0.hi, pad))
         f1 = GF(jnp.pad(f1.lo, pad), jnp.pad(f1.hi, pad))
+        if round0 is None:
+            return f0, f1
+        rate_bits, arity_bits, cap_height, coset_shift, lde_size = round0
         v0, v1 = _ext_coset_ntt_dev(f0, f1, coset_shift, lde_size)
         leaves = _fiber_leaves(v0, v1, 1 << arity_bits)
         levels = merklem.device_merkle_levels(leaves, cap_height)
         return f0, f1, leaves, levels
 
-    return jax.jit(run)
+    return run
+
+
+@lru_cache(maxsize=16)
+def _compose_round0_fn(total_polys: int, n: int, num_zs: int, rate_bits: int,
+                       arity_bits: int, cap_height: int, coset_shift: int):
+    import jax
+
+    lde_size = n << rate_bits
+    return jax.jit(_make_compose_run(
+        num_zs, (rate_bits, arity_bits, cap_height, coset_shift, lde_size)))
 
 
 @lru_cache(maxsize=16)
@@ -211,32 +239,21 @@ def _compose_only_fn(total_polys: int, n: int, num_zs: int):
     enough that FRI has no fold rounds (degree_bits <= final_poly_bits)."""
     import jax
 
-    def run(sets, ap0, ap1, zp0, zp1, zi0, zi1,
-            azp0, azp1, anp0, anp1, ani0, ani1, sp0, sp1):
-        batch0 = gfd.concatenate(list(sets), axis=0)
-        comp0_0, comp0_1 = _reduce_alpha(batch0, ap0, ap1)
-        q0_0, q0_1 = _ddl(comp0_0, comp0_1, zp0, zp1, zi0, zi1)
-        zs = sets[2]
-        zs2 = GF(zs.lo[:num_zs], zs.hi[:num_zs])
-        comp1_0, comp1_1 = _reduce_alpha(zs2, azp0, azp1)
-        q1_0, q1_1 = _ddl(comp1_0, comp1_1, anp0, anp1, ani0, ani1)
-        sq0, sq1 = _emul(q0_0, q0_1, sp0, sp1)
-        f0, f1 = _eadd(q1_0, q1_1, sq0, sq1)
-        import jax.numpy as jnp
-
-        pad = [(0, 1)]
-        return (GF(jnp.pad(f0.lo, pad), jnp.pad(f0.hi, pad)),
-                GF(jnp.pad(f1.lo, pad), jnp.pad(f1.hi, pad)))
-
-    return jax.jit(run)
+    return jax.jit(_make_compose_run(num_zs, None))
 
 
 @lru_cache(maxsize=16)
-def _fold_commit_fn(n_coeffs: int, arity_bits: int, next_arity_bits: int,
-                    cap_height: int, shift: int, rate_bits: int):
-    """Fold with beta, NTT the next codeword, commit its fiber tree."""
+def _compose_batch_fn(total_polys: int, n: int, num_zs: int, B: int,
+                      shared0: bool, round0: tuple | None):
     import jax
 
+    sets_axes = (None if shared0 else 0,) + (0,) * 3
+    return jax.jit(jax.vmap(_make_compose_run(num_zs, round0),
+                            in_axes=(sets_axes,) + (0,) * 14))
+
+
+def _make_fold_commit_run(arity_bits: int, next_arity_bits: int,
+                          cap_height: int, shift: int, rate_bits: int):
     def run(c0, c1, b0, b1):
         f0, f1 = _fold_dev(c0, c1, b0, b1, arity_bits)
         size = f0.lo.shape[-1] << rate_bits  # rate is preserved under folding
@@ -245,7 +262,27 @@ def _fold_commit_fn(n_coeffs: int, arity_bits: int, next_arity_bits: int,
         levels = merklem.device_merkle_levels(leaves, cap_height)
         return f0, f1, leaves, levels
 
-    return jax.jit(run)
+    return run
+
+
+@lru_cache(maxsize=16)
+def _fold_commit_fn(n_coeffs: int, arity_bits: int, next_arity_bits: int,
+                    cap_height: int, shift: int, rate_bits: int):
+    """Fold with beta, NTT the next codeword, commit its fiber tree."""
+    import jax
+
+    return jax.jit(_make_fold_commit_run(arity_bits, next_arity_bits,
+                                         cap_height, shift, rate_bits))
+
+
+@lru_cache(maxsize=16)
+def _fold_commit_batch_fn(n_coeffs: int, arity_bits: int,
+                          next_arity_bits: int, cap_height: int, shift: int,
+                          rate_bits: int, B: int):
+    import jax
+
+    return jax.jit(jax.vmap(_make_fold_commit_run(
+        arity_bits, next_arity_bits, cap_height, shift, rate_bits)))
 
 
 @lru_cache(maxsize=16)
@@ -256,6 +293,16 @@ def _final_fold_fn(n_coeffs: int, arity_bits: int):
         return _fold_dev(c0, c1, b0, b1, arity_bits)
 
     return jax.jit(run)
+
+
+@lru_cache(maxsize=16)
+def _final_fold_batch_fn(n_coeffs: int, arity_bits: int, B: int):
+    import jax
+
+    def run(c0, c1, b0, b1):
+        return _fold_dev(c0, c1, b0, b1, arity_bits)
+
+    return jax.jit(jax.vmap(run))
 
 
 import functools
@@ -315,6 +362,70 @@ def gather_trees(trees: list, idxs: list[np.ndarray]):
             pos += nlev * q * 4
         else:
             sibs = np.zeros((q, 0, 4), dtype=np.uint64)
+        out.append((rows, sibs))
+    assert pos == u64.shape[0]
+    return out
+
+
+@functools.lru_cache(maxsize=16)
+def _gather_batch_fn(num_trees: int, shapes: tuple, shared: tuple):
+    """Batched-proof variant of `_gather_fn`: every non-shared tree carries
+    a leading proof axis, every index vector is (B, Q), and the whole
+    query harvest for ALL proofs lands in one flat (2, total) u32 buffer
+    (one d2h round trip for the entire batch)."""
+    import jax
+    import jax.numpy as jnp
+
+    def take_rows(arr, idx, sh):
+        return arr[idx] if sh else jax.vmap(lambda l, i: l[i])(arr, idx)
+
+    def run(trees, idxs):
+        chunks_lo, chunks_hi = [], []
+        for (leaves, levels), idx, sh in zip(trees, idxs, shared):
+            chunks_lo.append(take_rows(leaves.lo, idx, sh).reshape(-1))
+            chunks_hi.append(take_rows(leaves.hi, idx, sh).reshape(-1))
+            i = idx
+            for lv in levels[:-1]:
+                chunks_lo.append(take_rows(lv.lo, i ^ 1, sh).reshape(-1))
+                chunks_hi.append(take_rows(lv.hi, i ^ 1, sh).reshape(-1))
+                i = i >> 1
+        return jnp.stack(
+            [jnp.concatenate(chunks_lo), jnp.concatenate(chunks_hi)])
+
+    return jax.jit(run)
+
+
+def gather_trees_batch(trees: list, idxs: list[np.ndarray],
+                       shared: list[bool]):
+    """trees: per tree (leaves GF, levels tuple[GF]) where non-``shared``
+    trees have a leading proof axis B; idxs: per tree (B, Q) query
+    indices.  Returns per tree (rows u64 (B, Q, w), sibs u64 (B, Q, L, 4)).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B = int(np.asarray(idxs[0]).shape[0])
+    shapes = tuple(
+        (len(lv), lf.lo.shape[-1], bool(sh))
+        for (lf, lv), sh in zip(trees, shared))
+    fn = _gather_batch_fn(len(trees), shapes, tuple(bool(s) for s in shared))
+    jidx = tuple(jnp.asarray(np.asarray(i, dtype=np.int64)) for i in idxs)
+    flat = np.asarray(jax.device_get(fn(tuple(trees), jidx)))
+    u64 = flat[0].astype(np.uint64) | (flat[1].astype(np.uint64) << np.uint64(32))
+    out = []
+    pos = 0
+    for (lf, lv), idx in zip(trees, idxs):
+        q = int(np.asarray(idx).shape[1])
+        w = lf.lo.shape[-1]
+        nlev = len(lv) - 1
+        rows = u64[pos : pos + B * q * w].reshape(B, q, w)
+        pos += B * q * w
+        if nlev > 0:
+            sibs = u64[pos : pos + nlev * B * q * 4].reshape(nlev, B, q, 4)
+            sibs = np.ascontiguousarray(sibs.transpose(1, 2, 0, 3))
+            pos += nlev * B * q * 4
+        else:
+            sibs = np.zeros((B, q, 0, 4), dtype=np.uint64)
         out.append((rows, sibs))
     assert pos == u64.shape[0]
     return out
@@ -473,3 +584,194 @@ def open_and_fri_device(common, oracles, ch) -> tuple:
 
     proof = frim.FriProof(caps, query_rounds, final_poly, pow_witness)
     return openings, proof
+
+
+# ---------------------------------------------------------------------------
+# batched-proof orchestration (prover_batch)
+# ---------------------------------------------------------------------------
+
+
+class BatchedCommit:
+    """Device-resident commitment of B same-shape polynomial batches:
+    coeffs GF (B, k, n), leaves GF (B, 8n, w), levels tuple[GF (B, m, 4)].
+    The per-proof analog of PolynomialBatch for the batched prover."""
+
+    __slots__ = ("coeffs", "leaves", "levels", "caps")
+
+    def __init__(self, coeffs, leaves, levels, caps=None):
+        self.coeffs = coeffs
+        self.leaves = leaves
+        self.levels = tuple(levels)
+        self.caps = caps  # (B, 2^cap, 4) u64 host, filled by the stage fetch
+
+
+def open_and_fri_device_batch(common, cs_oracle, commits: list,
+                              chs: list) -> list:
+    """Batched analog of `open_and_fri_device`: B proofs' opening sets and
+    FRI proofs with every device program batched over the proof axis and
+    every transcript-stage d2h a single packed fetch.
+
+    ``cs_oracle``: the circuit-constant constants/sigmas PolynomialBatch
+    (device-resident, shared by all proofs); ``commits``: [wires, zs,
+    quotient] BatchedCommit; ``chs``: per-proof host Challengers positioned
+    immediately after observing the quotient cap.  Returns
+    list[(OpeningSet, FriProof)] in batch order — bit-identical to the
+    sequential device path (same transcript, same math, same leaf layouts).
+    """
+    from ..plonk.proof import OpeningSet
+    from ..utils.fetch import fetch_packed
+    from ..utils.profiling import stage_timer
+    from .oracle import ext_powers
+
+    cfg = common.config
+    n = common.degree
+    num_zs = cfg.num_challenges
+    B = len(chs)
+    g_ext = np.array([gl.primitive_root_of_unity(common.degree_bits), 0],
+                     dtype=np.uint64)
+
+    zetas = [ch.get_extension_challenge() for ch in chs]
+    zetas_next = [gle.mul(z, g_ext) for z in zetas]
+
+    sets = (cs_oracle.coeffs_dev,) + tuple(c.coeffs for c in commits)
+    widths = (sets[0].lo.shape[0],) + tuple(s.lo.shape[1] for s in sets[1:])
+
+    with stage_timer("fri/openings_eval(batch)"):
+        zpow = np.stack([ext_powers(z, n) for z in zetas])            # (B,n,2)
+        zpow_next = np.stack([ext_powers(z, n) for z in zetas_next])
+        fn = _openings_batch_fn(widths, n, num_zs, B, True)
+        e0, e1, zn0, zn1 = fn(sets, *_ext_pair(zpow), *_ext_pair(zpow_next))
+        ev0, ev1, znv0, znv1 = fetch_packed([e0, e1, zn0, zn1])
+
+    k0, k1, k2, k3 = widths
+    openings_l, alphas = [], []
+    for b in range(B):
+        evals = np.stack([ev0[b], ev1[b]], axis=-1)        # (K, 2)
+        zs_next = np.stack([znv0[b], znv1[b]], axis=-1)    # (num_zs, 2)
+        openings = OpeningSet(
+            constants_sigmas=evals[:k0],
+            wires=evals[k0 : k0 + k1],
+            zs_partial_products=evals[k0 + k1 : k0 + k1 + k2],
+            quotient=evals[k0 + k1 + k2 :],
+            zs_next=zs_next,
+        )
+        openings_l.append(openings)
+        chs[b].observe_extension_elements(openings.batch0_flat())
+        chs[b].observe_extension_elements(openings.batch1_flat())
+        alphas.append(chs[b].get_extension_challenge())
+
+    fri_config = cfg.fri_config
+    lde_size = n << fri_config.rate_bits
+    arities = fri_config.reduction_arities(common.degree_bits)
+    coset_shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
+    total = sum(widths)
+
+    with stage_timer("fri/compose_r0(batch)"):
+        apow = np.stack([ext_powers(a, total) for a in alphas])
+        apow_zs = apow[:, :num_zs]
+        shift_pow = np.stack([gle.powmod(a, num_zs) for a in alphas])
+        zinv_pow = np.stack([ext_powers(gle.inverse(z), n) for z in zetas])
+        zinv_pow_next = np.stack(
+            [ext_powers(gle.inverse(z), n) for z in zetas_next])
+        compose_args = (
+            sets, *_ext_pair(apow), *_ext_pair(zpow), *_ext_pair(zinv_pow),
+            *_ext_pair(apow_zs), *_ext_pair(zpow_next),
+            *_ext_pair(zinv_pow_next), *_ext_pair(shift_pow),
+        )
+        if arities:
+            round0 = (fri_config.rate_bits, arities[0],
+                      fri_config.cap_height, coset_shift, lde_size)
+            fn0 = _compose_batch_fn(total, n, num_zs, B, True, round0)
+            f0, f1, leaves0, levels0 = fn0(*compose_args)
+        else:
+            fn0 = _compose_batch_fn(total, n, num_zs, B, True, None)
+            f0, f1 = fn0(*compose_args)
+            leaves0 = levels0 = None
+
+    caps_per_b: list[list[np.ndarray]] = [[] for _ in range(B)]
+    trees: list[tuple] = []
+    cur = (f0, f1)
+    cur_leaves, cur_levels = leaves0, levels0
+    shift = coset_shift
+    size = lde_size
+    with stage_timer("fri/commit_phase(batch)"):
+        for r, a_bits in enumerate(arities):
+            arity = 1 << a_bits
+            (caps_np,) = fetch_packed([cur_levels[-1]])    # (B, m, 4)
+            trees.append((cur_leaves, tuple(cur_levels)))
+            betas = []
+            for b in range(B):
+                caps_per_b[b].append(caps_np[b])
+                chs[b].observe_cap(caps_np[b])
+                betas.append(chs[b].get_extension_challenge())
+            b0, b1 = _ext_pair(np.stack(betas))            # (B,) pair
+            shift = pow(shift, arity, gl.P_INT)
+            size //= arity
+            if r + 1 < len(arities):
+                fn_r = _fold_commit_batch_fn(cur[0].lo.shape[-1], a_bits,
+                                             arities[r + 1],
+                                             fri_config.cap_height, shift,
+                                             fri_config.rate_bits, B)
+                f0, f1, cur_leaves, cur_levels = fn_r(cur[0], cur[1], b0, b1)
+                cur = (f0, f1)
+            else:
+                fn_f = _final_fold_batch_fn(cur[0].lo.shape[-1], a_bits, B)
+                cur = fn_f(cur[0], cur[1], b0, b1)
+
+    fp0, fp1 = fetch_packed([cur[0], cur[1]])
+    final_polys = np.stack([fp0, fp1], axis=-1)            # (B, len, 2)
+    pow_bases = []
+    for b in range(B):
+        chs[b].observe_extension_elements(final_polys[b])
+        pow_bases.append(chs[b].get_hash())
+
+    with stage_timer("fri/pow_grind(batch)"):
+        pow_witnesses = frim.proof_of_work_grind_batch(
+            np.stack(pow_bases), fri_config.proof_of_work_bits)
+
+    idx_rows = []
+    for b in range(B):
+        chs[b].observe_element(pow_witnesses[b])
+        idx_rows.append([chs[b].get_challenge() % lde_size
+                         for _ in range(fri_config.num_query_rounds)])
+    idx_arr = np.array(idx_rows, dtype=np.int64)           # (B, Q)
+
+    with stage_timer("fri/query_gather(batch)"):
+        gather_specs = [((cs_oracle.leaves_dev,
+                          tuple(cs_oracle.levels_dev)), idx_arr, True)]
+        for c in commits:
+            gather_specs.append(((c.leaves, c.levels), idx_arr, False))
+        step_idx = []
+        cur_size = lde_size
+        for a_bits in arities:
+            m = cur_size >> a_bits
+            step_idx.append(idx_arr % m)
+            cur_size = m
+        for t, si in zip(trees, step_idx):
+            gather_specs.append((t, si, False))
+        all_opened = gather_trees_batch(
+            [g[0] for g in gather_specs],
+            [g[1] for g in gather_specs],
+            [g[2] for g in gather_specs],
+        )
+        opened = all_opened[: 1 + len(commits)]
+        fri_opened = all_opened[1 + len(commits):]
+
+    out = []
+    for b in range(B):
+        query_rounds = []
+        for qi in range(fri_config.num_query_rounds):
+            initial = [(rows[b, qi].copy(), [s.copy() for s in sibs[b, qi]])
+                       for rows, sibs in opened]
+            steps = []
+            for r, a_bits in enumerate(arities):
+                rows, sibs = fri_opened[r]
+                leaf = rows[b, qi]               # (arity*2,) interleaved ext
+                coset_values = leaf.reshape(-1, 2).copy()
+                siblings = [s.copy() for s in sibs[b, qi]]
+                steps.append(frim.FriQueryStep(coset_values, siblings))
+            query_rounds.append(frim.FriQueryRound(initial, steps))
+        proof = frim.FriProof(caps_per_b[b], query_rounds, final_polys[b],
+                              pow_witnesses[b])
+        out.append((openings_l[b], proof))
+    return out

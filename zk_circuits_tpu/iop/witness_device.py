@@ -110,14 +110,13 @@ def _poseidon_trace_dev(inputs: GF, swap: GF):
     return state, deltas, full0, partial, full1
 
 
-@lru_cache(maxsize=8)
-def _witness_fn(key):
-    """jit factory: seeds (S,) GF in fixed rep order -> (wires (n, W) GF,
-    pi values (P,) GF)."""
+def _witness_body(circuit_data, seed_reps):
+    """Traced witness body: seeds (S,) GF in fixed rep order -> (wires
+    (n, W) GF, pi values (P,) GF).  Shared by the single-proof jit
+    (`_witness_fn`) and the batched vmap (`_witness_batch_fn` /
+    prover_batch's fused wires program)."""
     import jax
     import jax.numpy as jnp
-
-    circuit_data, seed_reps = _witness_fn._ctx[key]
     common = circuit_data.common
     po = circuit_data.prover_only
     n = common.degree
@@ -254,10 +253,44 @@ def _witness_fn(key):
         pis = values[pi_reps]
         return wires, pis
 
-    return jax.jit(run)
+    return run
+
+
+@lru_cache(maxsize=8)
+def _witness_fn(key):
+    """jit factory over `_witness_body` (single proof)."""
+    import jax
+
+    circuit_data, seed_reps = _witness_fn._ctx[key]
+    return jax.jit(_witness_body(circuit_data, seed_reps))
 
 
 _witness_fn._ctx = {}
+
+
+def seed_batch(circuit_data, pws) -> tuple[tuple, np.ndarray]:
+    """Validate that every PartialWitness seeds the SAME target set (the
+    wormhole/voting/recursion APIs always do — fill_targets assigns a fixed
+    layout) and stack the seed values: returns (seed_reps, (B, S) u64)."""
+    po = circuit_data.prover_only
+    seed_reps = None
+    rows = []
+    for pw in pws:
+        items = []
+        for t, v in pw.values.items():
+            rep = po.rep_of_target.get(t)
+            if rep is None:
+                raise KeyError(f"target {t} is not part of the circuit")
+            items.append((rep, v))
+        items.sort()
+        reps = tuple(r for r, _ in items)
+        if seed_reps is None:
+            seed_reps = reps
+        elif reps != seed_reps:
+            raise ValueError(
+                "prove_batch witnesses seed different target sets")
+        rows.append(np.array([v for _, v in items], dtype=np.uint64))
+    return seed_reps, np.stack(rows)
 
 
 def generate_witness_device(circuit_data, pw, fetch_pis: bool = True):

@@ -183,20 +183,13 @@ def _device_quotient_fn(key):
 _device_quotient_fn._common = {}
 
 
-@lru_cache(maxsize=8)
-def _device_quotient_commit_fn(key):
-    """Fused quotient program (VERDICT r2 item 1): vanishing eval over the
-    8n coset -> divide by Z_H -> coset INTT -> chunk split (+ salts) -> LDE
-    -> Merkle levels, all in ONE jitted device program.  The quotient
-    coefficients never leave HBM (openings read them via fri_device).
-    Reference structure: SURVEY.md §3.2 steps 6."""
-    import jax
-
+def _quotient_commit_body(common, blinding):
+    """Traced body of the fused quotient program — shared by the
+    single-proof jit below and the batched vmap (prover_batch)."""
     from ..field import goldilocks as gfd
     from ..field.goldilocks import GF
     from ..hash import merkle as merklem
 
-    common, blinding = _device_quotient_commit_fn._common[key]
     cfg = common.config
     n = common.degree
     # Circuit-constant coset columns baked into the program.
@@ -223,7 +216,20 @@ def _device_quotient_commit_fn(key):
         levels = merklem.device_merkle_levels(rows, cfg.fri_config.cap_height)
         return coeffs, rows, levels
 
-    return jax.jit(run)
+    return run
+
+
+@lru_cache(maxsize=8)
+def _device_quotient_commit_fn(key):
+    """Fused quotient program (VERDICT r2 item 1): vanishing eval over the
+    8n coset -> divide by Z_H -> coset INTT -> chunk split (+ salts) -> LDE
+    -> Merkle levels, all in ONE jitted device program.  The quotient
+    coefficients never leave HBM (openings read them via fri_device).
+    Reference structure: SURVEY.md §3.2 steps 6."""
+    import jax
+
+    common, blinding = _device_quotient_commit_fn._common[key]
+    return jax.jit(_quotient_commit_body(common, blinding))
 
 
 _device_quotient_commit_fn._common = {}
@@ -250,23 +256,15 @@ def _device_wires_coeffs_fn(num_polys: int, n: int, blinding: bool):
     return jax.jit(run)
 
 
-@lru_cache(maxsize=8)
-def _device_zs_commit_fn(key):
-    """Device permutation-argument pipeline: wire values on H (NTT of the
-    committed coefficients) -> nums/dens -> chunk products -> exclusive
-    prefix product (associative scan) -> partial products -> INTT ->
-    (+ salts) -> LDE -> Merkle, one jitted program.  Replaces the host
-    numpy compute_zs_and_partial_products + h2d on the device path
-    (~0.6 s/prove on the tunneled chip).  Bit-exact with the host path
-    (multiplication mod p is associative, so scan order is immaterial)."""
+def _zs_coeffs_body(common, sigmas_np, subgroup_np):
+    """Traced body of the permutation-argument program — shared by the
+    single-proof jit below and the batched vmap (prover_batch)."""
     import jax
 
     from ..field import goldilocks as gfd
     from ..field.goldilocks import GF
     from ..fri.oracle import _deterministic_salt_polys
-    from ..hash import merkle as merklem
 
-    common, sigmas_np, subgroup_np = _device_zs_commit_fn._ctx[key]
     cfg = common.config
     n = common.degree
     q = common.quotient_degree_factor
@@ -337,7 +335,22 @@ def _device_zs_commit_fn(key):
         # sponge) is already compiled+cached for this shape by the wires/
         # quotient paths; fusing it would recompile the sponge per program.
 
-    return jax.jit(run)
+    return run
+
+
+@lru_cache(maxsize=8)
+def _device_zs_commit_fn(key):
+    """Device permutation-argument pipeline: wire values on H (NTT of the
+    committed coefficients) -> nums/dens -> chunk products -> exclusive
+    prefix product (associative scan) -> partial products -> INTT ->
+    (+ salts) -> LDE -> Merkle, one jitted program.  Replaces the host
+    numpy compute_zs_and_partial_products + h2d on the device path
+    (~0.6 s/prove on the tunneled chip).  Bit-exact with the host path
+    (multiplication mod p is associative, so scan order is immaterial)."""
+    import jax
+
+    common, sigmas_np, subgroup_np = _device_zs_commit_fn._ctx[key]
+    return jax.jit(_zs_coeffs_body(common, sigmas_np, subgroup_np))
 
 
 _device_zs_commit_fn._ctx = {}
@@ -769,6 +782,16 @@ def prove_batch(circuit_data, pws: list, mesh=None,
     B = len(pws)
     if B == 0:
         return []
+
+    if use_device:
+        # Round-5 path: the ENTIRE pipeline batched on device with one
+        # packed d2h per transcript stage (prover_batch module) — the r4
+        # host-stage mix below was ~3x slower per proof than sequential
+        # device proves (VERDICT r4 weak #1).
+        from .prover_batch import prove_batch_device
+
+        return prove_batch_device(circuit_data, pws, mesh=mesh,
+                                  check_witness=check_witness)
 
     pool = _batch_pool(B)
 
