@@ -81,4 +81,52 @@ def test_recursion_kind_witness_matches_host():
         assert np.array_equal(host_pi, dev_pi)
         assert np.array_equal(host_w, gfd.to_u64(dev_w))
     os.environ.pop("ZKT_DEVICE_WITNESS_EXT", None)
-    assert not supported(data)   # ext kinds are opt-in (compiler OOM note)
+    assert supported(data)       # ext kinds default ON since the r5 scan
+    os.environ["ZKT_DEVICE_WITNESS_EXT"] = "0"   # restructure; "0" opts out
+    try:
+        assert not supported(data)
+    finally:
+        os.environ.pop("ZKT_DEVICE_WITNESS_EXT", None)
+
+
+def test_scan_segment_witness_matches_host():
+    """Schedules deep enough to trigger the r5 scan-segment compression
+    (witness_device._compile_segments): a >=4-level chain of arith_ext ops
+    (kind_run) and an alternating arith_ext/poseidon chain (pair_run) must
+    produce bit-identical wires to the host schedule."""
+    from zk_circuits_tpu.iop.witness_device import _compile_segments
+
+    b = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    a = b.add_virtual_target()
+    c = b.add_virtual_target()
+    # pair_run: 5 alternating [arith_ext -> poseidon] levels (sequential,
+    # so each level holds exactly one batch of each kind)
+    h = [a, c] + [b.zero()] * 10
+    for k in range(5):
+        e = b.arithmetic_extension(1 + k, 7, (h[0], h[1]), (h[2], h[3]),
+                                   (h[4], h[5]))
+        h = b.permute_poseidon([e[0], e[1]] + h[2:])
+    # kind_run: 8 dependent arith_ext levels AFTER the pair chain (chained
+    # through h so the two sections cannot overlap level-wise)
+    o = (h[0], h[1])
+    for k in range(8):
+        o = b.arithmetic_extension(2 + k, 3 + k, o, (h[2], h[3]), o)
+    b.register_public_inputs(list(o))
+    b.register_public_inputs(h[:4])
+    data = b.build()
+    segs = _compile_segments(data.prover_only.schedule)
+    kinds = [s[0] for s in segs]
+    assert "kind_run" in kinds, kinds
+    assert "pair_run" in kinds, kinds
+    assert supported(data)
+
+    def seed():
+        pw = PartialWitness()
+        pw.set_target(a, 12345)
+        pw.set_target(c, 67890)
+        return pw
+
+    host_w, host_pi = generate_witness(data, seed())
+    dev_w, dev_pi = generate_witness_device(data, seed())
+    assert np.array_equal(host_pi, dev_pi)
+    assert np.array_equal(host_w, gfd.to_u64(dev_w))
