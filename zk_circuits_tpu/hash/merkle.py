@@ -78,7 +78,8 @@ def verify_merkle_proof(
     return bool(np.array_equal(current, cap[i]))
 
 
-def device_merkle_levels(leaves: gfd.GF, cap_height: int) -> list[gfd.GF]:
+def device_merkle_levels(leaves: gfd.GF, cap_height: int,
+                         use_pallas: bool | None = None) -> list[gfd.GF]:
     """Device tree builder: batched Poseidon over rows; returns all levels
     (leaf digests first, cap last) as GF arrays.  jit-able.
 
@@ -99,7 +100,11 @@ def device_merkle_levels(leaves: gfd.GF, cap_height: int) -> list[gfd.GF]:
 
     n = leaves.shape[0]
     assert n & (n - 1) == 0 and n >= (1 << cap_height)
-    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    # (callers pass use_pallas=False when the leaf rows are GSPMD-sharded
+    # over a mesh — pallas_call has no automatic-partitioning rule, so the
+    # sharded single-proof prover keeps the XLA hash path there)
 
     if use_pallas and leaves.shape[1] > 4:
         from . import poseidon_pallas as pp
