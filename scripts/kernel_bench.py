@@ -195,6 +195,23 @@ def bench_commit(rows=[], degree_bits=13):
         "sol_frac": sol / s,
     })
 
+    # r5 fused variant: the Pallas sponge reads the LDE output COLUMN-
+    # MAJOR zero-copy (merkle.device_merkle_levels_values) — no (8n, k)
+    # transpose materialization, no re-swizzle.  This is the production
+    # commit path since r5 (oracle._device_commit_fn).
+    def step_fused(c):
+        values = nttm.lde(c, rate_bits)
+        return merklem.device_merkle_levels_values(values, cap_h)[-1]
+
+    s2 = _timed_chain(step_fused, chain, coeffs)
+    rows.append({
+        "kernel": f"wire commit FUSED (LDE+col-major hash, 135 x 2^{degree_bits})",
+        "time_ms": s2 * 1e3,
+        "throughput": f"{lde_elems / s2 / 1e6:.1f} Mfelt/s",
+        "sol_ms": sol * 1e3,
+        "sol_frac": sol / s2,
+    })
+
 
 def main():
     ap = argparse.ArgumentParser()

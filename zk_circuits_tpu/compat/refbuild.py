@@ -47,6 +47,8 @@ VARIANTS = dict(
     const_order="sorted",     # constant-gate packing: sorted | insertion
     sigma_dir="next",         # sigma: next-in-cycle | prev-in-cycle
     arith_dedup=True,         # upstream base_arithmetic_results cache
+    arith_fold=True,          # upstream constant-folding special cases
+    zk_blind=True,            # upstream blind(): Noop rows + z-pair copies
 )
 
 
@@ -187,7 +189,8 @@ class RefBuilder:
     def arithmetic(self, c0: int, c1: int, m0, m1, addend):
         c0 %= P
         c1 %= P
-        special = self._arithmetic_special_cases(c0, c1, m0, m1, addend)
+        special = (self._arithmetic_special_cases(c0, c1, m0, m1, addend)
+                   if VARIANTS["arith_fold"] else None)
         if special is not None:
             return special
         op = (c0, c1, m0, m1, addend)
@@ -368,8 +371,20 @@ class RefBuilder:
             self.rows[row].constants[i] = c
             self.connect(t, ("w", row, i))
 
-        # 3. blind (zk: NoopGate rows with random wires — layout-identical
-        #    to padding) and pad to a power of two
+        # 3. blind (upstream plonky2 blind(): with zero_knowledge,
+        #    num_queries+2 Noop rows whose wires get random values, plus
+        #    num_queries+3 PAIRS of Noop rows with all routed wires
+        #    copy-constrained between the pair — the pairs CHANGE the sigma
+        #    polynomials, not just the row count) and pad to a power of two
+        if self.zero_knowledge and VARIANTS["zk_blind"]:
+            num_queries = 28
+            for _ in range(num_queries + 2):
+                self.add_gate("Noop", [])
+            for _ in range(num_queries + 3):
+                g1 = self.add_gate("Noop", [])
+                g2 = self.add_gate("Noop", [])
+                for w in range(self.NUM_ROUTED):
+                    self.connect(("w", g1, w), ("w", g2, w))
         n = len(self.rows)
         degree = 1 << (n - 1).bit_length()
         while len(self.rows) < degree:

@@ -309,7 +309,7 @@ import functools
 
 
 @functools.lru_cache(maxsize=16)
-def _gather_fn(num_trees: int, shapes: tuple):
+def _gather_fn(num_trees: int, shapes: tuple, colmajor: tuple):
     """Gather query rows + sibling paths for several trees in one program,
     returning ONE flat (2, total) u32 buffer (lo row, hi row) so the host
     needs a single d2h fetch — each fetch through the tunnel costs ~50 ms,
@@ -317,15 +317,21 @@ def _gather_fn(num_trees: int, shapes: tuple):
     warm proves reuse the compiled program.
 
     shapes[t] = (num_levels, leaf_width); inputs: per tree (leaves, levels
-    list), plus per tree an index vector (Q,)."""
+    list), plus per tree an index vector (Q,).  ``colmajor[t]``: the leaf
+    store is column-major values (w, N) — leaf row i = values[:, i] — the
+    commit's natural residency since r5."""
     import jax
     import jax.numpy as jnp
 
     def run(trees, idxs):
         chunks_lo, chunks_hi = [], []
-        for (leaves, levels), idx in zip(trees, idxs):
-            chunks_lo.append(leaves.lo[idx].reshape(-1))
-            chunks_hi.append(leaves.hi[idx].reshape(-1))
+        for (leaves, levels), idx, cm in zip(trees, idxs, colmajor):
+            if cm:
+                chunks_lo.append(leaves.lo[:, idx].T.reshape(-1))
+                chunks_hi.append(leaves.hi[:, idx].T.reshape(-1))
+            else:
+                chunks_lo.append(leaves.lo[idx].reshape(-1))
+                chunks_hi.append(leaves.hi[idx].reshape(-1))
             i = idx
             for lv in levels[:-1]:
                 chunks_lo.append(lv.lo[i ^ 1].reshape(-1))
@@ -337,22 +343,29 @@ def _gather_fn(num_trees: int, shapes: tuple):
     return jax.jit(run)
 
 
-def gather_trees(trees: list, idxs: list[np.ndarray]):
-    """trees: list of (leaves GF (N, w), levels list[GF]); idxs: per-tree
-    query indices.  Returns [(rows u64 (Q, w), sibs u64 (Q, L, 4))]."""
+def gather_trees(trees: list, idxs: list[np.ndarray],
+                 colmajor: tuple | None = None):
+    """trees: list of (leaves GF (N, w) — or (w, N) when the matching
+    ``colmajor`` flag is set — levels list[GF]); idxs: per-tree query
+    indices.  Returns [(rows u64 (Q, w), sibs u64 (Q, L, 4))]."""
     import jax
     import jax.numpy as jnp
 
-    shapes = tuple((len(lv), lf.lo.shape[1]) for lf, lv in trees)
-    fn = _gather_fn(len(trees), shapes)
+    if colmajor is None:
+        colmajor = (False,) * len(trees)
+    colmajor = tuple(bool(c) for c in colmajor)
+    shapes = tuple(
+        (len(lv), lf.lo.shape[0] if cm else lf.lo.shape[1])
+        for (lf, lv), cm in zip(trees, colmajor))
+    fn = _gather_fn(len(trees), shapes, colmajor)
     jidx = tuple(jnp.asarray(np.asarray(i, dtype=np.int64)) for i in idxs)
     flat = np.asarray(jax.device_get(fn(tuple(trees), jidx)))
     u64 = flat[0].astype(np.uint64) | (flat[1].astype(np.uint64) << np.uint64(32))
     out = []
     pos = 0
-    for (lf, lv), idx in zip(trees, idxs):
+    for ((lf, lv), idx), cm in zip(zip(trees, idxs), colmajor):
         q = int(np.asarray(idx).shape[0])
-        w = lf.lo.shape[1]
+        w = lf.lo.shape[0] if cm else lf.lo.shape[1]
         nlev = len(lv) - 1
         rows = u64[pos : pos + q * w].reshape(q, w)
         pos += q * w
@@ -368,26 +381,33 @@ def gather_trees(trees: list, idxs: list[np.ndarray]):
 
 
 @functools.lru_cache(maxsize=16)
-def _gather_batch_fn(num_trees: int, shapes: tuple, shared: tuple):
+def _gather_batch_fn(num_trees: int, shapes: tuple, shared: tuple,
+                     colmajor: tuple):
     """Batched-proof variant of `_gather_fn`: every non-shared tree carries
     a leading proof axis, every index vector is (B, Q), and the whole
     query harvest for ALL proofs lands in one flat (2, total) u32 buffer
-    (one d2h round trip for the entire batch)."""
+    (one d2h round trip for the entire batch).  ``colmajor[t]``: the leaf
+    store is column-major values — (w, N) shared / (B, w, N) batched."""
     import jax
     import jax.numpy as jnp
 
-    def take_rows(arr, idx, sh):
+    def take_rows(arr, idx, sh, cm):
+        if cm:
+            if sh:
+                return arr[:, idx].transpose(1, 2, 0)      # (B, Q, w)
+            return jax.vmap(lambda v, i: v[:, i].T)(arr, idx)
         return arr[idx] if sh else jax.vmap(lambda l, i: l[i])(arr, idx)
 
     def run(trees, idxs):
         chunks_lo, chunks_hi = [], []
-        for (leaves, levels), idx, sh in zip(trees, idxs, shared):
-            chunks_lo.append(take_rows(leaves.lo, idx, sh).reshape(-1))
-            chunks_hi.append(take_rows(leaves.hi, idx, sh).reshape(-1))
+        for (leaves, levels), idx, sh, cm in zip(trees, idxs, shared,
+                                                 colmajor):
+            chunks_lo.append(take_rows(leaves.lo, idx, sh, cm).reshape(-1))
+            chunks_hi.append(take_rows(leaves.hi, idx, sh, cm).reshape(-1))
             i = idx
             for lv in levels[:-1]:
-                chunks_lo.append(take_rows(lv.lo, i ^ 1, sh).reshape(-1))
-                chunks_hi.append(take_rows(lv.hi, i ^ 1, sh).reshape(-1))
+                chunks_lo.append(take_rows(lv.lo, i ^ 1, sh, False).reshape(-1))
+                chunks_hi.append(take_rows(lv.hi, i ^ 1, sh, False).reshape(-1))
                 i = i >> 1
         return jnp.stack(
             [jnp.concatenate(chunks_lo), jnp.concatenate(chunks_hi)])
@@ -396,7 +416,8 @@ def _gather_batch_fn(num_trees: int, shapes: tuple, shared: tuple):
 
 
 def gather_trees_batch(trees: list, idxs: list[np.ndarray],
-                       shared: list[bool]):
+                       shared: list[bool],
+                       colmajor: list[bool] | None = None):
     """trees: per tree (leaves GF, levels tuple[GF]) where non-``shared``
     trees have a leading proof axis B; idxs: per tree (B, Q) query
     indices.  Returns per tree (rows u64 (B, Q, w), sibs u64 (B, Q, L, 4)).
@@ -405,18 +426,27 @@ def gather_trees_batch(trees: list, idxs: list[np.ndarray],
     import jax.numpy as jnp
 
     B = int(np.asarray(idxs[0]).shape[0])
+    if colmajor is None:
+        colmajor = [False] * len(trees)
+    colmajor = tuple(bool(c) for c in colmajor)
+
+    def leaf_w(lf, sh, cm):
+        # row-major: (..., N, w) -> w is last; col-major: (..., w, N)
+        return lf.lo.shape[-2] if cm else lf.lo.shape[-1]
+
     shapes = tuple(
-        (len(lv), lf.lo.shape[-1], bool(sh))
-        for (lf, lv), sh in zip(trees, shared))
-    fn = _gather_batch_fn(len(trees), shapes, tuple(bool(s) for s in shared))
+        (len(lv), leaf_w(lf, sh, cm), bool(sh), cm)
+        for (lf, lv), sh, cm in zip(trees, shared, colmajor))
+    fn = _gather_batch_fn(len(trees), shapes, tuple(bool(s) for s in shared),
+                          colmajor)
     jidx = tuple(jnp.asarray(np.asarray(i, dtype=np.int64)) for i in idxs)
     flat = np.asarray(jax.device_get(fn(tuple(trees), jidx)))
     u64 = flat[0].astype(np.uint64) | (flat[1].astype(np.uint64) << np.uint64(32))
     out = []
     pos = 0
-    for (lf, lv), idx in zip(trees, idxs):
+    for ((lf, lv), idx), sh, cm in zip(zip(trees, idxs), shared, colmajor):
         q = int(np.asarray(idx).shape[1])
-        w = lf.lo.shape[-1]
+        w = leaf_w(lf, sh, cm)
         nlev = len(lv) - 1
         rows = u64[pos : pos + B * q * w].reshape(B, q, w)
         pos += B * q * w
@@ -554,7 +584,10 @@ def open_and_fri_device(common, oracles, ch) -> tuple:
     # --- query gathers: ONE program + ONE d2h fetch for oracles and FRI
     # commit trees together (per-fetch tunnel latency dominates) ---
     with stage_timer("fri/query_gather"):
-        oracle_trees = [(o.leaves_dev, tuple(o.levels_dev)) for o in oracles]
+        oracle_trees = [
+            ((o.leaves_dev if o.leaves_dev is not None else o.values_dev),
+             tuple(o.levels_dev)) for o in oracles]
+        oracle_cm = [o.leaves_dev is None for o in oracles]
         step_idx = []
         cur_size = lde_size
         for a_bits in arities:
@@ -565,6 +598,7 @@ def open_and_fri_device(common, oracles, ch) -> tuple:
             [(lf, lv) for lf, lv in oracle_trees]
             + [(lf, tuple(lv)) for lf, lv in trees],
             [idx_arr] * len(oracles) + step_idx,
+            colmajor=tuple(oracle_cm) + (False,) * len(trees),
         )
         opened = all_opened[: len(oracles)]
         fri_opened = all_opened[len(oracles):]
@@ -593,14 +627,15 @@ def open_and_fri_device(common, oracles, ch) -> tuple:
 
 class BatchedCommit:
     """Device-resident commitment of B same-shape polynomial batches:
-    coeffs GF (B, k, n), leaves GF (B, 8n, w), levels tuple[GF (B, m, 4)].
-    The per-proof analog of PolynomialBatch for the batched prover."""
+    coeffs GF (B, k, n), values GF (B, k, 8n) — COLUMN-MAJOR leaf store,
+    leaf row i of proof b = values[b, :, i] — and levels tuple[GF
+    (B, m, 4)].  The per-proof analog of PolynomialBatch."""
 
-    __slots__ = ("coeffs", "leaves", "levels", "caps")
+    __slots__ = ("coeffs", "values", "levels", "caps")
 
-    def __init__(self, coeffs, leaves, levels, caps=None):
+    def __init__(self, coeffs, values, levels, caps=None):
         self.coeffs = coeffs
-        self.leaves = leaves
+        self.values = values
         self.levels = tuple(levels)
         self.caps = caps  # (B, 2^cap, 4) u64 host, filled by the stage fetch
 
@@ -737,10 +772,13 @@ def open_and_fri_device_batch(common, cs_oracle, commits: list,
     idx_arr = np.array(idx_rows, dtype=np.int64)           # (B, Q)
 
     with stage_timer("fri/query_gather(batch)"):
-        gather_specs = [((cs_oracle.leaves_dev,
-                          tuple(cs_oracle.levels_dev)), idx_arr, True)]
+        cs_leaves = (cs_oracle.leaves_dev
+                     if cs_oracle.leaves_dev is not None
+                     else cs_oracle.values_dev)
+        gather_specs = [((cs_leaves, tuple(cs_oracle.levels_dev)),
+                         idx_arr, True, cs_oracle.leaves_dev is None)]
         for c in commits:
-            gather_specs.append(((c.leaves, c.levels), idx_arr, False))
+            gather_specs.append(((c.values, c.levels), idx_arr, False, True))
         step_idx = []
         cur_size = lde_size
         for a_bits in arities:
@@ -748,11 +786,12 @@ def open_and_fri_device_batch(common, cs_oracle, commits: list,
             step_idx.append(idx_arr % m)
             cur_size = m
         for t, si in zip(trees, step_idx):
-            gather_specs.append((t, si, False))
+            gather_specs.append((t, si, False, False))
         all_opened = gather_trees_batch(
             [g[0] for g in gather_specs],
             [g[1] for g in gather_specs],
             [g[2] for g in gather_specs],
+            [g[3] for g in gather_specs],
         )
         opened = all_opened[: 1 + len(commits)]
         fri_opened = all_opened[1 + len(commits):]

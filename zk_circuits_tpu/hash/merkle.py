@@ -119,3 +119,34 @@ def device_merkle_levels(leaves: gfd.GF, cap_height: int,
         cur = levels[-1]
         levels.append(batch_compress(cur[0::2], cur[1::2]))
     return levels
+
+
+def device_merkle_levels_values(values: gfd.GF, cap_height: int,
+                                use_pallas: bool | None = None) -> list[gfd.GF]:
+    """Like :func:`device_merkle_levels` but takes the leaf matrix
+    COLUMN-MAJOR — ``values`` (cols, n), leaf row i = values[:, i] — the
+    natural orientation of the prover's LDE output.  On TPU the Pallas
+    sponge reads this layout zero-copy (poseidon_pallas.hash_values), so
+    the commit's hash path skips the materialized transpose entirely."""
+    import jax
+
+    from .poseidon import batch_compress, batch_hash_or_noop
+
+    cols, n = values.shape
+    assert n & (n - 1) == 0 and n >= (1 << cap_height)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    if use_pallas and cols > 4:
+        from . import poseidon_pallas as pp
+
+        if pp.available_for(n):
+            levels = [pp.hash_values(values, interpret=False)]
+        else:
+            levels = [batch_hash_or_noop(gfd.GF(values.lo.T, values.hi.T))]
+    else:
+        levels = [batch_hash_or_noop(gfd.GF(values.lo.T, values.hi.T))]
+    while levels[-1].shape[0] > (1 << cap_height):
+        cur = levels[-1]
+        levels.append(batch_compress(cur[0::2], cur[1::2]))
+    return levels

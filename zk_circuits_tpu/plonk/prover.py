@@ -198,7 +198,14 @@ def _quotient_commit_body(common, blinding):
     l1_c = gfd.from_u64(l1_h)
     zh_inv_c = gfd.from_u64(zh_inv_h)
 
-    def run(cs_lde, wires_lde, zsp_lde, pi_hash, betas, gammas, alphas, salts):
+    def run(cs_vals, wires_vals, zsp_vals, pi_hash, betas, gammas, alphas,
+            salts):
+        # inputs arrive COLUMN-MAJOR (num_polys, 8n) — the commit's natural
+        # residency; transpose here, inside the fused program, where XLA
+        # schedules it (the commit itself no longer materializes rows)
+        cs_lde = GF(cs_vals.lo.T, cs_vals.hi.T)
+        wires_lde = GF(wires_vals.lo.T, wires_vals.hi.T)
+        zsp_lde = GF(zsp_vals.lo.T, zsp_vals.hi.T)
         vans = _device_vanishing_eval(common, cs_lde, wires_lde, zsp_lde,
                                       x_c, l1_c, pi_hash, betas, gammas, alphas)
         chunks = []
@@ -212,9 +219,9 @@ def _quotient_commit_body(common, blinding):
         if blinding:
             coeffs = gfd.concatenate([coeffs, salts], axis=0)
         values = nttm.lde(coeffs, cfg.rate_bits)
-        rows = GF(values.lo.T, values.hi.T)
-        levels = merklem.device_merkle_levels(rows, cfg.fri_config.cap_height)
-        return coeffs, rows, levels
+        levels = merklem.device_merkle_levels_values(
+            values, cfg.fri_config.cap_height)
+        return coeffs, values, levels
 
     return run
 
@@ -532,14 +539,14 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool | None = None,
         coeffs_dev = cfn(gfd.GF(wires_dev.lo.T, wires_dev.hi.T))
         commit_fn = _device_commit_fn(
             coeffs_dev.lo.shape[0], n, cfg.rate_bits, cap_h)
-        rows_d, levels_d = commit_fn(coeffs_dev)
+        vals_d, levels_d = commit_fn(coeffs_dev)
         # fetch the PIs only now — the d2h overlaps the commit dispatch
         public_inputs = gfd.to_u64(pis_dev)
         pi_hash = (hposeidon.hash_no_pad(public_inputs)
                    if len(public_inputs) else np.zeros(4, np.uint64))
         wires_commitment = PolynomialBatch(
             None, cfg.rate_bits, cfg.zero_knowledge, cap_h,
-            leaves_dev=rows_d, levels_dev=levels_d, coeffs_dev=coeffs_dev)
+            values_dev=vals_d, levels_dev=levels_d, coeffs_dev=coeffs_dev)
     else:
         wires_commitment = PolynomialBatch.from_values(
             np.ascontiguousarray(wires.T), cfg.rate_bits, cap_h,
@@ -584,10 +591,10 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool | None = None,
                     f"(final running products {final.tolist()} != 1)")
         commit_fn = _device_commit_fn(
             zs_coeffs_dev.lo.shape[0], n, cfg.rate_bits, cap_h)
-        zs_rows, zs_levels = commit_fn(zs_coeffs_dev)
+        zs_vals, zs_levels = commit_fn(zs_coeffs_dev)
         zsp_commitment = PolynomialBatch(
             None, cfg.rate_bits, cfg.zero_knowledge, cap_h,
-            leaves_dev=zs_rows, levels_dev=zs_levels,
+            values_dev=zs_vals, levels_dev=zs_levels,
             coeffs_dev=zs_coeffs_dev,
         )
     else:
@@ -616,10 +623,10 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool | None = None,
             _device_quotient_commit_fn._common.pop(key, None)
         salts = (gfd.from_u64(_deterministic_salt_polys(n, 4))
                  if cfg.zero_knowledge else gfd.zeros((0, n)))
-        q_coeffs_dev, q_rows, q_levels = fn(
-            cs_commit.leaves_for_eval(),
-            wires_commitment.leaves_for_eval(),
-            zsp_commitment.leaves_for_eval(),
+        q_coeffs_dev, q_vals, q_levels = fn(
+            cs_commit.values_for_eval(),
+            wires_commitment.values_for_eval(),
+            zsp_commitment.values_for_eval(),
             gfd.from_u64(pi_hash.reshape(1, 4)),
             gfd.from_u64(np.array(betas, dtype=np.uint64).reshape(-1, 1)),
             gfd.from_u64(np.array(gammas, dtype=np.uint64).reshape(-1, 1)),
@@ -628,7 +635,7 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool | None = None,
         )
         quotient_commitment = PolynomialBatch(
             None, cfg.rate_bits, cfg.zero_knowledge, cap_h,
-            leaves_dev=q_rows, levels_dev=q_levels, coeffs_dev=q_coeffs_dev,
+            values_dev=q_vals, levels_dev=q_levels, coeffs_dev=q_coeffs_dev,
         )
         ch.observe_cap(quotient_commitment.cap)
         _mark("quotient eval+commit (fused)")

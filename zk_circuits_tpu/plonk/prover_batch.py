@@ -70,9 +70,8 @@ def _wires_stage_fn(key):
         if salts_np is not None:
             coeffs = gfd.concatenate([coeffs, gfd.from_u64(salts_np)], axis=0)
         values = nttm.lde(coeffs, cfg.rate_bits)
-        rows = GF(values.lo.T, values.hi.T)
-        levels = merklem.device_merkle_levels(rows, cap_h)
-        return pis, coeffs, rows, levels
+        levels = merklem.device_merkle_levels_values(values, cap_h)
+        return pis, coeffs, values, levels
 
     return jax.jit(jax.vmap(one))
 
@@ -96,9 +95,8 @@ def _wires_values_stage_fn(num_wires: int, n: int, rate_bits: int,
         if salts_np is not None:
             coeffs = gfd.concatenate([coeffs, gfd.from_u64(salts_np)], axis=0)
         values = nttm.lde(coeffs, rate_bits)
-        rows = GF(values.lo.T, values.hi.T)
-        levels = merklem.device_merkle_levels(rows, cap_height)
-        return coeffs, rows, levels
+        levels = merklem.device_merkle_levels_values(values, cap_height)
+        return coeffs, values, levels
 
     return jax.jit(jax.vmap(one))
 
@@ -119,9 +117,8 @@ def _zs_stage_fn(key):
     def one(wire_coeffs: GF, betas: GF, gammas: GF):
         coeffs, finals = zs_run(wire_coeffs, betas, gammas)
         values = nttm.lde(coeffs, cfg.rate_bits)
-        rows = GF(values.lo.T, values.hi.T)
-        levels = merklem.device_merkle_levels(rows, cap_h)
-        return coeffs, finals, rows, levels
+        levels = merklem.device_merkle_levels_values(values, cap_h)
+        return coeffs, finals, values, levels
 
     return jax.jit(jax.vmap(one))
 
@@ -196,7 +193,7 @@ def prove_batch_device(circuit_data, pws: list, mesh=None,
             finally:
                 _wires_stage_fn._ctx.pop(key, None)
             seeds_dev = _shard(gfd.from_u64(seeds), mesh, B)
-            pis_dev, w_coeffs, w_rows, w_levels = fn(seeds_dev)
+            pis_dev, w_coeffs, w_vals, w_levels = fn(seeds_dev)
             w_caps, pis_np = fetch_packed([w_levels[-1], pis_dev])
             pis_l = [pis_np[b] for b in range(B)]
         else:
@@ -216,7 +213,7 @@ def prove_batch_device(circuit_data, pws: list, mesh=None,
             fn = _wires_values_stage_fn(cfg.num_wires, n, cfg.rate_bits,
                                         cfg.fri_config.cap_height,
                                         cfg.zero_knowledge, B)
-            w_coeffs, w_rows, w_levels = fn(
+            w_coeffs, w_vals, w_levels = fn(
                 _shard(gfd.from_u64(values_t), mesh, B))
             (w_caps,) = fetch_packed([w_levels[-1]])
 
@@ -242,7 +239,7 @@ def prove_batch_device(circuit_data, pws: list, mesh=None,
             zfn = _zs_stage_fn(zkey)
         finally:
             _zs_stage_fn._ctx.pop(zkey, None)
-        zs_coeffs, zs_finals, zs_rows, zs_levels = zfn(
+        zs_coeffs, zs_finals, zs_vals, zs_levels = zfn(
             w_coeffs,
             gfd.from_u64(np.array(betas_l, dtype=np.uint64)),
             gfd.from_u64(np.array(gammas_l, dtype=np.uint64)),
@@ -272,10 +269,10 @@ def prove_batch_device(circuit_data, pws: list, mesh=None,
             _quotient_stage_fn._ctx.pop(qkey, None)
         salts = (gfd.from_u64(_deterministic_salt_polys(n, 4))
                  if cfg.zero_knowledge else gfd.zeros((0, n)))
-        q_coeffs, q_rows, q_levels = qfn(
-            cs_commit.leaves_for_eval(),
-            w_rows,
-            zs_rows,
+        q_coeffs, q_vals, q_levels = qfn(
+            cs_commit.values_for_eval(),
+            w_vals,
+            zs_vals,
             gfd.from_u64(np.stack(pi_hashes).reshape(B, 1, 4)),
             gfd.from_u64(np.array(betas_l, np.uint64).reshape(B, -1, 1)),
             gfd.from_u64(np.array(gammas_l, np.uint64).reshape(B, -1, 1)),
@@ -288,9 +285,9 @@ def prove_batch_device(circuit_data, pws: list, mesh=None,
 
     # ---- stages 4-7: openings + FRI (batched) ----------------------------
     commits = [
-        BatchedCommit(w_coeffs, w_rows, w_levels, w_caps),
-        BatchedCommit(zs_coeffs, zs_rows, zs_levels, zs_caps),
-        BatchedCommit(q_coeffs, q_rows, q_levels, q_caps),
+        BatchedCommit(w_coeffs, w_vals, w_levels, w_caps),
+        BatchedCommit(zs_coeffs, zs_vals, zs_levels, zs_caps),
+        BatchedCommit(q_coeffs, q_vals, q_levels, q_caps),
     ]
     results = open_and_fri_device_batch(common, cs_commit, commits, chs)
 

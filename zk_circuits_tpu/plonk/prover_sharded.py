@@ -146,8 +146,13 @@ def _quotient_sharded_fn(key):
         cs_rows = _constrain(cs_rows, mesh, axis, None)
         w_rows = _constrain(w_rows, mesh, axis, None)
         z_rows = _constrain(z_rows, mesh, axis, None)
-        return body(cs_rows, w_rows, z_rows, pi_hash, betas, gammas,
-                    alphas, salts)
+        # the shared body takes COLUMN-MAJOR operands since r5 and
+        # transposes internally; feeding rows.T makes the pair cancel
+        def t(a):
+            return GF(a.lo.T, a.hi.T)
+
+        return body(t(cs_rows), t(w_rows), t(z_rows), pi_hash, betas,
+                    gammas, alphas, salts)
 
     return jax.jit(run)
 
@@ -219,7 +224,7 @@ def prove_sharded(circuit_data, pw, mesh, axis: str = "x",
         _quotient_sharded_fn._ctx.pop(qkey, None)
     salts = (gfd.from_u64(_deterministic_salt_polys(n, 4))
              if cfg.zero_knowledge else gfd.zeros((0, n)))
-    q_coeffs, q_rows, q_levels = qfn(
+    q_coeffs, q_vals, q_levels = qfn(
         cs_shard.leaves_for_eval(),
         wires_commitment.leaves_for_eval(),
         zsp_commitment.leaves_for_eval(),
@@ -231,7 +236,7 @@ def prove_sharded(circuit_data, pw, mesh, axis: str = "x",
     )
     quotient_commitment = PolynomialBatch(
         None, cfg.rate_bits, cfg.zero_knowledge, cap_h,
-        leaves_dev=q_rows, levels_dev=q_levels, coeffs_dev=q_coeffs)
+        values_dev=q_vals, levels_dev=q_levels, coeffs_dev=q_coeffs)
     ch.observe_cap(quotient_commitment.cap)
 
     # 6-7. openings + FRI — the shared device programs re-specialize for
