@@ -520,8 +520,14 @@ def prove(circuit_data, pw: PartialWitness, check_witness: bool | None = None,
         from ..iop import witness_device as wdev
 
         if wdev.supported(circuit_data):
-            wires_dev, pis_dev = wdev.generate_witness_device(
-                circuit_data, pw, fetch_pis=False)
+            try:
+                wires_dev, pis_dev = wdev.generate_witness_device(
+                    circuit_data, pw, fetch_pis=False)
+            except Exception as e:  # compile failure -> host witness
+                import logging
+
+                logging.getLogger("zk_circuits_tpu").warning(
+                    "device witness program failed (%s); host fallback", e)
     if wires_dev is None:
         wires, public_inputs = generate_witness(circuit_data, pw)
         pi_hash = (hposeidon.hash_no_pad(public_inputs)

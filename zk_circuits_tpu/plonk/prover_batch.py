@@ -185,18 +185,25 @@ def prove_batch_device(circuit_data, pws: list, mesh=None,
     device_witness = wdev.supported(circuit_data) and not check_witness
     with stage_timer("batch/wires"):
         if device_witness:
-            seed_reps, seeds = wdev.seed_batch(circuit_data, pws)
-            key = _circuit_key(common, ("bwires", hash(seed_reps), B))
-            _wires_stage_fn._ctx[key] = (circuit_data, seed_reps)
             try:
-                fn = _wires_stage_fn(key)
-            finally:
-                _wires_stage_fn._ctx.pop(key, None)
-            seeds_dev = _shard(gfd.from_u64(seeds), mesh, B)
-            pis_dev, w_coeffs, w_vals, w_levels = fn(seeds_dev)
-            w_caps, pis_np = fetch_packed([w_levels[-1], pis_dev])
-            pis_l = [pis_np[b] for b in range(B)]
-        else:
+                seed_reps, seeds = wdev.seed_batch(circuit_data, pws)
+                key = _circuit_key(common, ("bwires", hash(seed_reps), B))
+                _wires_stage_fn._ctx[key] = (circuit_data, seed_reps)
+                try:
+                    fn = _wires_stage_fn(key)
+                finally:
+                    _wires_stage_fn._ctx.pop(key, None)
+                seeds_dev = _shard(gfd.from_u64(seeds), mesh, B)
+                pis_dev, w_coeffs, w_vals, w_levels = fn(seeds_dev)
+                w_caps, pis_np = fetch_packed([w_levels[-1], pis_dev])
+                pis_l = [pis_np[b] for b in range(B)]
+            except Exception as e:  # compile failure -> host witness
+                import logging
+
+                logging.getLogger("zk_circuits_tpu").warning(
+                    "batched device witness failed (%s); host fallback", e)
+                device_witness = False
+        if not device_witness:
             pool = _batch_pool(B)
             wits = _pmap_host(pool, lambda b: generate_witness(
                 circuit_data, pws[b]), B)
