@@ -205,8 +205,47 @@ def mul(a: GF, b: GF) -> GF:
     return _reduce128(*_mul64(a.lo, a.hi, b.lo, b.hi))
 
 
+def _sqr32(x):
+    """Exact 32-bit squaring: the cross 16-bit products coincide, so 3
+    sublimb multiplies instead of _mul32's 4."""
+    x0 = x & MASK16
+    x1 = x >> 16
+    ll = x0 * x0
+    lh = x0 * x1
+    hh = x1 * x1
+    t = (ll >> 16) + ((lh & MASK16) << 1)     # < 2^16 + 2^17, fits u32
+    lo = (ll & MASK16) | (t << 16)
+    hi = hh + ((lh >> 16) << 1) + (t >> 16)
+    return lo, hi
+
+
+def _sqr64(a_lo, a_hi):
+    """Exact 64-bit squaring: the two cross 32-bit products coincide —
+    10 sublimb multiplies vs _mul64's 16.  The Poseidon S-box (x^7 via
+    two squares + two muls) is the prover's arithmetic hot spot, so this
+    feeds straight into commit throughput (BENCH_KERNELS.md r5: the wire
+    commit is Poseidon-bound)."""
+    l0, l1 = _sqr32(a_lo)
+    m0, m1 = _mul32(a_lo, a_hi)
+    h0, h1 = _sqr32(a_hi)
+    # double the cross product as a 64-bit quantity (top bit -> column 3)
+    d0 = m0 << 1
+    d1 = (m1 << 1) | (m0 >> 31)
+    dc = m1 >> 31
+    # column 1: l1 + d0
+    r1 = l1 + d0
+    c1 = (r1 < l1).astype(jnp.uint32)
+    # column 2: d1 + h0 + c1
+    s = d1 + h0
+    c2 = (s < d1).astype(jnp.uint32)
+    r2 = s + c1
+    c2 = c2 + (r2 < s).astype(jnp.uint32)
+    r3 = h1 + dc + c2
+    return l0, r1, r2, r3
+
+
 def square(a: GF) -> GF:
-    return mul(a, a)
+    return _reduce128(*_sqr64(a.lo, a.hi))
 
 
 def mul_const(a: GF, c: int) -> GF:

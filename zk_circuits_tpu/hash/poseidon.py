@@ -43,9 +43,9 @@ _MDS_T = np.ascontiguousarray(_MDS_NP.T)  # (in, out): state @ _MDS_T applies M
 
 
 def _sbox(x: GF) -> GF:
-    x2 = gf.mul(x, x)
+    x2 = gf.square(x)
     x3 = gf.mul(x2, x)
-    x6 = gf.mul(x3, x3)
+    x6 = gf.square(x3)
     return gf.mul(x6, x)
 
 

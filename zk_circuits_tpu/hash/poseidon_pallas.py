@@ -63,9 +63,9 @@ _M16 = np.uint32(0xFFFF)
 
 def _sbox1(lo, hi):
     x = GF(lo, hi)
-    x2 = gf.mul(x, x)
+    x2 = gf.square(x)      # _sqr64: 10 sublimb products vs mul's 16
     x3 = gf.mul(x2, x)
-    x6 = gf.mul(x3, x3)
+    x6 = gf.square(x3)
     r = gf.mul(x6, x)
     return r.lo, r.hi
 
