@@ -128,8 +128,15 @@ class PolynomialBatch:
 
     def leaves_for_eval(self):
         """LDE rows in whatever residency avoids a copy: GF on device
-        batches, numpy on host batches (inputs to the quotient kernel)."""
-        return self.leaves_dev if self.leaves_dev is not None else self._leaves
+        batches, numpy on host batches (inputs to the quotient kernel).
+        Values-resident batches (the r5 column-major commit) return a
+        transposed device view — row-major consumers on the legacy host
+        path pay one device transpose."""
+        if self.leaves_dev is not None:
+            return self.leaves_dev
+        if self.values_dev is not None:
+            return gfd.GF(self.values_dev.lo.T, self.values_dev.hi.T)
+        return self._leaves
 
     def values_for_eval(self):
         """Column-major LDE (num_polys, 8n) for the fused device quotient
