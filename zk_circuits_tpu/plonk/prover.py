@@ -797,6 +797,12 @@ def prove_batch(circuit_data, pws: list, mesh=None,
         return []
 
     if use_device:
+        if B == 1:
+            # A 1-proof "batch" (e.g. the aggregation root chunk) reuses
+            # the single-prove programs instead of compiling B=1 variants
+            # of every batched stage (bytes are identical either way).
+            return [prove(circuit_data, pws[0], check_witness=check_witness,
+                          use_device=True)]
         # Round-5 path: the ENTIRE pipeline batched on device with one
         # packed d2h per transcript stage (prover_batch module) — the r4
         # host-stage mix below was ~3x slower per proof than sequential
