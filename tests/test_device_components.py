@@ -58,3 +58,43 @@ def test_device_merkle_levels_match_host():
 # pathologically slow to compile on this backend).  The device zs path is
 # covered on the real chip by bench.py's proof-byte parity assert and by
 # the slow-split test_device_prover suite.
+
+
+def test_values_resident_commit_matches_host():
+    """r5 column-major commit residency: a values-resident PolynomialBatch
+    (oracle._device_commit_fn path) must produce the same cap, leaves view
+    and query openings as the host tree."""
+    from zk_circuits_tpu.fri.oracle import PolynomialBatch
+
+    rng = np.random.default_rng(10)
+    coeffs = rng.integers(0, gl.P_INT, size=(6, 32), dtype=np.uint64)
+    dev = PolynomialBatch.from_coeffs(coeffs, rate_bits=1, cap_height=1,
+                                      use_device=True)
+    host = PolynomialBatch.from_coeffs(coeffs.copy(), rate_bits=1,
+                                       cap_height=1, use_device=False)
+    assert dev.values_dev is not None and dev.leaves_dev is None
+    assert np.array_equal(dev.cap, host.cap)
+    assert np.array_equal(dev.leaves, host.leaves)
+    idx = np.array([0, 5, 63, 17], dtype=np.int64)
+    r_d, s_d = dev.open_rows(idx)
+    r_h, s_h = host.open_rows(idx)
+    assert np.array_equal(r_d, r_h)
+    # host batches store no device levels; check sibling paths against the
+    # host tree proof API instead
+    for k, i in enumerate(idx):
+        assert [list(x) for x in s_d[k]] == [list(x) for x in host.tree.prove(int(i))]
+
+
+def test_merkle_levels_values_matches_rows():
+    """Column-major leaf hashing (device_merkle_levels_values) must equal
+    the row-major builder level by level."""
+    from zk_circuits_tpu.hash import merkle as merklem
+
+    rng = np.random.default_rng(11)
+    rows = rng.integers(0, gl.P_INT, size=(64, 7), dtype=np.uint64)
+    lv_rows = merklem.device_merkle_levels(gfd.from_u64(rows), cap_height=1)
+    lv_vals = merklem.device_merkle_levels_values(
+        gfd.from_u64(np.ascontiguousarray(rows.T)), cap_height=1)
+    assert len(lv_rows) == len(lv_vals)
+    for a, b in zip(lv_rows, lv_vals):
+        assert np.array_equal(gfd.to_u64(a), gfd.to_u64(b))
