@@ -6,9 +6,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in flags:
+    # The XLA:CPU backend at the default optimization level was observed
+    # OOM-killing this box (111 GB RSS) while compiling the batched
+    # prover's vmapped stage programs; level 1 keeps compile memory
+    # bounded.  Only runtime speed of the test executables is affected —
+    # results are bit-identical.
+    flags = flags + " --xla_backend_optimization_level=1"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
