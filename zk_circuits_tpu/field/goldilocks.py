@@ -176,8 +176,12 @@ def _mul64(a_lo, a_hi, b_lo, b_hi):
     return l0, r1, r2, r3
 
 
-def _reduce128(r0, r1, r2, r3) -> GF:
-    """Reduce r0..r3 (128-bit LE u32 limbs) mod p; canonical output.
+def _reduce128_nc(r0, r1, r2, r3):
+    """Reduce r0..r3 (128-bit LE u32 limbs) mod p; NON-CANONICAL output:
+    a (lo, hi) u32 pair whose u64 value is ≡ x (mod p) but may lie in
+    [p, 2^64).  Safe to feed back into _mul64/_sqr64 (exact for any u64
+    inputs) — the Poseidon sponge kernel chains rounds through this and
+    canonicalizes only its output lanes (hash/poseidon_pallas.py).
 
     With x = n_lo + 2^64 * (n_hi_lo + 2^32 * n_hi_hi):
       x ≡ n_lo - n_hi_hi + n_hi_lo * (2^32 - 1)  (mod p)
@@ -198,7 +202,12 @@ def _reduce128(r0, r1, r2, r3) -> GF:
     t2b_hi = t2_hi + cb
     t2_lo = jnp.where(over > 0, t2b_lo, t2_lo)
     t2_hi = jnp.where(over > 0, t2b_hi, t2_hi)
-    return GF(*_canon(t2_lo, t2_hi))
+    return t2_lo, t2_hi
+
+
+def _reduce128(r0, r1, r2, r3) -> GF:
+    """Canonical reduction (see _reduce128_nc for the algorithm)."""
+    return GF(*_canon(*_reduce128_nc(r0, r1, r2, r3)))
 
 
 def mul(a: GF, b: GF) -> GF:

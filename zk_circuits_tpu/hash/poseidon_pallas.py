@@ -62,12 +62,26 @@ _M16 = np.uint32(0xFFFF)
 
 
 def _sbox1(lo, hi):
-    x = GF(lo, hi)
-    x2 = gf.square(x)      # _sqr64: 10 sublimb products vs mul's 16
-    x3 = gf.mul(x2, x)
-    x6 = gf.square(x3)
-    r = gf.mul(x6, x)
-    return r.lo, r.hi
+    """x^7 with LAZY reduction: every intermediate stays a u64 pair that
+    is ≡ the true value mod p but possibly in [p, 2^64) — _mul64/_sqr64
+    are exact for any u64 inputs, so correctness is unaffected and the
+    four _canon compare/select/sub chains per S-box disappear.  The
+    sponge canonicalizes only its 4 output lanes."""
+    x2 = gf._reduce128_nc(*gf._sqr64(lo, hi))   # 10 sublimb products
+    x3 = gf._reduce128_nc(*gf._mul64(x2[0], x2[1], lo, hi))
+    x6 = gf._reduce128_nc(*gf._sqr64(x3[0], x3[1]))
+    return gf._reduce128_nc(*gf._mul64(x6[0], x6[1], lo, hi))
+
+
+def _add_rc(lo, hi, rc_lo, rc_hi):
+    """state + round-constant without canonicalization.  rc is canonical
+    (< p), so on u64 wraparound the corrected sum is ≤ p-2 < 2^64-ε and
+    a single ε-add cannot wrap again — even for non-canonical state."""
+    s_lo, s_hi, carry = gf._add64(lo, hi, rc_lo, rc_hi)
+    lo2 = s_lo + gf.EPS
+    c2 = (lo2 < s_lo).astype(jnp.uint32)
+    return (jnp.where(carry > 0, lo2, s_lo),
+            jnp.where(carry > 0, s_hi + c2, s_hi))
 
 
 def _mds_lanes(los, his):
@@ -94,9 +108,9 @@ def _mds_lanes(los, his):
         r1 = t + ((s3 & _M16) << 16)
         c1 = (r1 < t).astype(jnp.uint32)
         r2 = (s3 >> 16) + c1
-        res = gf._reduce128(r0, r1, r2, jnp.zeros_like(r2))
-        out_lo.append(res.lo)
-        out_hi.append(res.hi)
+        res_lo, res_hi = gf._reduce128_nc(r0, r1, r2, jnp.zeros_like(r2))
+        out_lo.append(res_lo)
+        out_hi.append(res_hi)
     return out_lo, out_hi
 
 
@@ -111,11 +125,11 @@ def _permute_lanes(los, his, rc_lo_ref, rc_hi_ref):
         los, his = carry
         new_lo, new_hi = [], []
         for j in range(WIDTH):
-            a = GF(los[j], his[j])
-            rc = GF(jnp.broadcast_to(rc_lo_ref[i, j], a.lo.shape),
-                    jnp.broadcast_to(rc_hi_ref[i, j], a.hi.shape))
-            a = gf.add(a, rc)
-            s_lo, s_hi = _sbox1(a.lo, a.hi)
+            a_lo, a_hi = _add_rc(
+                los[j], his[j],
+                jnp.broadcast_to(rc_lo_ref[i, j], los[j].shape),
+                jnp.broadcast_to(rc_hi_ref[i, j], his[j].shape))
+            s_lo, s_hi = _sbox1(a_lo, a_hi)
             new_lo.append(s_lo)
             new_hi.append(s_hi)
         new_lo, new_hi = _mds_lanes(new_lo, new_hi)
@@ -125,17 +139,17 @@ def _permute_lanes(los, his, rc_lo_ref, rc_hi_ref):
         los, his = carry
         new_lo, new_hi = [], []
         for j in range(WIDTH):
-            a = GF(los[j], his[j])
-            rc = GF(jnp.broadcast_to(rc_lo_ref[i, j], a.lo.shape),
-                    jnp.broadcast_to(rc_hi_ref[i, j], a.hi.shape))
-            a = gf.add(a, rc)
+            a_lo, a_hi = _add_rc(
+                los[j], his[j],
+                jnp.broadcast_to(rc_lo_ref[i, j], los[j].shape),
+                jnp.broadcast_to(rc_hi_ref[i, j], his[j].shape))
             if j == 0:
-                s_lo, s_hi = _sbox1(a.lo, a.hi)
+                s_lo, s_hi = _sbox1(a_lo, a_hi)
                 new_lo.append(s_lo)
                 new_hi.append(s_hi)
             else:
-                new_lo.append(a.lo)
-                new_hi.append(a.hi)
+                new_lo.append(a_lo)
+                new_hi.append(a_hi)
         new_lo, new_hi = _mds_lanes(new_lo, new_hi)
         return (tuple(new_lo), tuple(new_hi))
 
@@ -163,9 +177,10 @@ def _leaf_hash_kernel(cols: int, rc_lo_ref, rc_hi_ref, lo_ref, hi_ref,
             los[j] = lo_ref[off + j]
             his[j] = hi_ref[off + j]
         los, his = _permute_lanes(los, his, rc_lo_ref, rc_hi_ref)
+    # Rounds run with lazy (non-canonical) reduction; the digest lanes
+    # leave the kernel canonical — they feed Merkle compares/serde.
     for j in range(4):
-        out_lo_ref[j] = los[j]
-        out_hi_ref[j] = his[j]
+        out_lo_ref[j], out_hi_ref[j] = gf._canon(los[j], his[j])
 
 
 def _hash_swizzled(lo_in, hi_in, n: int, cols: int, interpret: bool) -> GF:
